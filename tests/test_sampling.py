@@ -1,0 +1,173 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vpt_tpu import rng, sampling
+from vpt_tpu import volume as vol
+
+
+def test_intersect_cube_through_center():
+    origin = jnp.array([[0.5, 0.5, -1.0]])
+    direction = jnp.array([[0.0, 0.0, 1.0]])
+    tb = np.asarray(sampling.intersect_cube(origin, direction))
+    assert np.allclose(tb, [[1.0, 2.0]])
+
+
+def test_intersect_cube_miss():
+    origin = jnp.array([[2.0, 2.0, -1.0]])
+    direction = jnp.array([[0.0, 0.0, 1.0]])
+    tb = np.asarray(sampling.intersect_cube(origin, direction))
+    assert tb[0, 0] >= tb[0, 1]  # tnear >= tfar signals a miss
+
+
+def test_intersect_cube_diagonal():
+    origin = jnp.array([[-0.5, -0.5, -0.5]])
+    direction = jnp.array([[1.0, 1.0, 1.0]])
+    tb = np.asarray(sampling.intersect_cube(origin, direction))
+    assert np.allclose(tb, [[0.5, 1.5]], atol=1e-6)
+
+
+def test_unproject_identity():
+    inv = jnp.eye(4, dtype=jnp.float32)
+    f, t = sampling.unproject(jnp.array([[0.25, -0.5]]), inv)
+    assert np.allclose(np.asarray(f), [[0.25, -0.5, -1.0]])
+    assert np.allclose(np.asarray(t), [[0.25, -0.5, 1.0]])
+
+
+def test_unproject_rand_zero_blur_matches_unproject_far_jitter_only():
+    inv = jnp.eye(4, dtype=jnp.float32)
+    ndc = jnp.array([[0.0, 0.0]])
+    state = jnp.array([123], dtype=jnp.uint32)
+    state, f, t = sampling.unproject_rand(state, ndc, inv,
+                                          jnp.float32(1 / 64), jnp.float32(0))
+    f0, t0 = sampling.unproject(ndc, inv)
+    assert np.allclose(np.asarray(f), np.asarray(f0), atol=1e-6)
+    # far point is jittered within one pixel
+    assert np.all(np.abs(np.asarray(t)[:, :2] - np.asarray(t0)[:, :2]) <= 1 / 64)
+
+
+def test_trilinear_at_texel_centers():
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2, 1)
+    v = jnp.asarray(data)
+    # texel centers: (0.25, 0.25, 0.25) -> corner value
+    got = sampling.sample_volume(v, jnp.array([[0.25, 0.25, 0.25]]))
+    assert np.allclose(np.asarray(got), [[0.0]])
+    got = sampling.sample_volume(v, jnp.array([[0.75, 0.75, 0.75]]))
+    assert np.allclose(np.asarray(got), [[7.0]])
+    # center: average of all 8 texels
+    got = sampling.sample_volume(v, jnp.array([[0.5, 0.5, 0.5]]))
+    assert np.allclose(np.asarray(got), [[3.5]])
+
+
+def test_trilinear_axis_order():
+    # value = x index: shape (D=1, H=1, W=4)
+    data = np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1)
+    v = jnp.asarray(data)
+    got = sampling.sample_volume(v, jnp.array([[0.125, 0.5, 0.5],
+                                               [0.875, 0.5, 0.5]]))
+    assert np.allclose(np.asarray(got).ravel(), [0.0, 3.0])
+    # y axis
+    data_y = np.arange(4, dtype=np.float32).reshape(1, 4, 1, 1)
+    got = sampling.sample_volume(jnp.asarray(data_y),
+                                 jnp.array([[0.5, 0.125, 0.5]]))
+    assert np.allclose(np.asarray(got).ravel(), [0.0])
+    # z axis
+    data_z = np.arange(4, dtype=np.float32).reshape(4, 1, 1, 1)
+    got = sampling.sample_volume(jnp.asarray(data_z),
+                                 jnp.array([[0.5, 0.5, 0.875]]))
+    assert np.allclose(np.asarray(got).ravel(), [3.0])
+
+
+def test_clamp_to_edge():
+    data = np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1)
+    v = jnp.asarray(data)
+    got = sampling.sample_volume(v, jnp.array([[-3.0, 0.5, 0.5],
+                                               [4.0, 0.5, 0.5]]))
+    assert np.allclose(np.asarray(got).ravel(), [0.0, 3.0])
+
+
+def test_nearest_matches_rounding():
+    data = np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1)
+    v = jnp.asarray(data)
+    got = sampling.sample_volume_nearest(v, jnp.array([[0.3, 0.5, 0.5]]))
+    assert np.allclose(np.asarray(got).ravel(), [1.0])
+
+
+def test_cubic_matches_linear_at_centers():
+    v = vol.sphere_volume(16).data
+    p = jnp.array([[0.5, 0.5, 0.5], [0.53125, 0.5, 0.5]])
+    lin = np.asarray(sampling.sample_volume(v, p))
+    cub = np.asarray(sampling.sample_volume_cubic(v, p))
+    assert np.allclose(lin[0], cub[0], atol=1e-6)  # texel center: identical
+
+
+def test_sample_texture2d_bilinear():
+    tex = np.zeros((2, 2, 4), np.float32)
+    tex[0, 0] = [1, 0, 0, 1]
+    tex[1, 1] = [0, 1, 0, 1]
+    t = jnp.asarray(tex)
+    got = np.asarray(sampling.sample_texture2d(t, jnp.array([[0.5, 0.5]])))
+    assert np.allclose(got, [[0.25, 0.25, 0.0, 0.5]])
+
+
+def test_volume_rg_single_channel_pads_zero():
+    v = vol.sphere_volume(8).data
+    rg = sampling.volume_rg(v, jnp.array([[0.5, 0.5, 0.5]]))
+    assert rg.shape == (1, 2)
+    assert float(rg[0, 1]) == 0.0
+
+
+def test_sample_environment_directions():
+    # env with distinct rows: top row (v=1) should be sampled for d.y = -1
+    env = np.zeros((2, 4, 4), np.float32)
+    env[0, :, 0] = 1.0  # bottom row red
+    env[1, :, 1] = 1.0  # top row green
+    e = jnp.asarray(env)
+    down = sampling.sample_environment(e, jnp.array([[0.0, -1.0, 0.0]]))
+    up = sampling.sample_environment(e, jnp.array([[0.0, 1.0, 0.0]]))
+    assert np.asarray(down)[0, 1] == 1.0  # -y -> v=1 -> green row
+    assert np.asarray(up)[0, 0] == 1.0    # +y -> v=0 -> red row
+
+
+def test_hg_isotropic_unit_norm():
+    state = jnp.arange(1000, dtype=jnp.uint32)
+    direction = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (1000, 3))
+    _, d = sampling.henyey_greenstein(state, 0.0, direction)
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-5)
+
+
+def test_hg_anisotropy_biases_cosine():
+    n = 200000
+    state = jnp.arange(n, dtype=jnp.uint32)
+    direction = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    g = 0.7
+    _, d = sampling.henyey_greenstein(state, g, direction)
+    cos = np.asarray(d)[:, 2]
+    # HG mean cosine = g
+    assert abs(cos.mean() - g) < 0.01
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-4)
+
+
+def test_value_gradient_matches_analytic():
+    # linear field along x: alpha == x  (gray_ramp TF alpha = value)
+    from vpt_tpu import transfer
+    n = 32
+    x, _, _ = vol.normalized_grid(n, n, n)
+    v = jnp.asarray(x[..., None].astype(np.float32))
+    tf = transfer.gray_ramp()
+    g = sampling.value_gradient(v, tf, jnp.array([[0.5, 0.5, 0.5]]),
+                                jnp.float32(0.01))
+    assert np.allclose(np.asarray(g), [[1.0, 0.0, 0.0]], atol=0.05)
+
+
+def test_sample_volume_is_differentiable():
+    v = vol.sphere_volume(8).data
+
+    def loss(data):
+        return jnp.sum(sampling.sample_volume(
+            data, jnp.array([[0.4, 0.5, 0.6]])))
+
+    g = jax.grad(loss)(v)
+    assert g.shape == v.shape
+    assert float(jnp.sum(g)) > 0.0  # interpolation weights sum to 1
+    assert np.isclose(float(jnp.sum(g)), 1.0, atol=1e-5)

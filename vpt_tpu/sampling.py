@@ -1,0 +1,274 @@
+"""Ray/volume sampling primitives — the "shader stdlib" of the framework.
+
+JAX re-implementations of the reference's GLSL mixins:
+
+- ``intersect_cube``  — slab test vs the unit cube (mixins/intersectCube.glsl:3-12)
+- ``unproject``       — NDC → texture-space ray via inverse MVP (mixins/unproject.glsl:3-11)
+- ``unproject_rand``  — stochastic DoF + AA variant (mixins/unprojectRand.glsl:3-24)
+- ``sample_volume``   — trilinear 3D texture fetch, CLAMP_TO_EDGE + LINEAR
+                        (the GL sampler state set in Volume.js:52-57)
+- ``sample_transfer`` — bilinear 2D transfer-function lookup
+- ``sample_volume_color`` — the composite ``TF(volume(p).rg)`` primitive every
+                        renderer shares (e.g. MCMRenderer.glsl:85-89)
+- ``sample_environment`` — equirectangular env-map lookup (MCMRenderer.glsl:80-83)
+- ``henyey_greenstein``  — HG phase sampling (MCMRenderer.glsl:91-106)
+
+Everything is batched over arbitrary leading dimensions, float32, and
+differentiable w.r.t. the volume and transfer-function textures (the gathers
+transpose to scatter-adds, which is exactly the voxel/TF-texel gradient).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import rng
+
+EPS = jnp.float32(1e-5)
+INVPI = jnp.float32(0.31830988618)
+
+
+# ---------------------------------------------------------------------------
+# Ray setup
+# ---------------------------------------------------------------------------
+
+def intersect_cube(origin, direction):
+    """Slab-test ray/unit-cube intersection → (..., 2) = (tnear, tfar)."""
+    tmin = (0.0 - origin) / direction
+    tmax = (1.0 - origin) / direction
+    t1 = jnp.minimum(tmin, tmax)
+    t2 = jnp.maximum(tmin, tmax)
+    tnear = jnp.max(t1, axis=-1)
+    tfar = jnp.min(t2, axis=-1)
+    return jnp.stack([tnear, tfar], axis=-1)
+
+
+def unproject(ndc, mvp_inverse):
+    """NDC position (..., 2) → (from, to) ray endpoints in texture space."""
+    ndc = jnp.asarray(ndc, jnp.float32)
+    ones = jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)
+    near = jnp.concatenate([ndc, -ones, ones], axis=-1)
+    far = jnp.concatenate([ndc, ones, ones], axis=-1)
+    f = near @ mvp_inverse.T
+    t = far @ mvp_inverse.T
+    return f[..., :3] / f[..., 3:4], t[..., :3] / t[..., 3:4]
+
+
+def unproject_rand(state, ndc, mvp_inverse, inverse_resolution, blur):
+    """Stochastic unproject: disk jitter on the near plane (depth of field),
+    square jitter on the far plane (antialiasing).  Consumes 4 uniforms from
+    ``state`` in the same order as the GLSL."""
+    state, disk_offset = rng.disk(state)
+    state, aa = rng.square(state)
+    near_xy = ndc + disk_offset * blur
+    far_xy = ndc + (aa * 2.0 - 1.0) * inverse_resolution
+    ones = jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)
+    near = jnp.concatenate([near_xy, -ones, ones], axis=-1)
+    far = jnp.concatenate([far_xy, ones, ones], axis=-1)
+    f = near @ mvp_inverse.T
+    t = far @ mvp_inverse.T
+    return state, f[..., :3] / f[..., 3:4], t[..., :3] / t[..., 3:4]
+
+
+def pixel_ndc(height, width):
+    """NDC coordinates of pixel centers, (H, W, 2); row 0 is the bottom of
+    the image (y up, OpenGL convention)."""
+    y = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    xx, yy = jnp.meshgrid(x, y)
+    return jnp.stack([xx, yy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Texture sampling
+# ---------------------------------------------------------------------------
+
+def _gather3d(volume, ix, iy, iz):
+    """volume: (D, H, W, C); indices already clamped int32 arrays."""
+    d, h, w, _ = volume.shape
+    flat = volume.reshape(d * h * w, -1)
+    idx = (iz * h + iy) * w + ix
+    return jnp.take(flat, idx, axis=0)
+
+
+def sample_volume(volume, position):
+    """Trilinear fetch of a (D, H, W, C) texture at (..., 3) xyz positions in
+    [0, 1] — GL LINEAR + CLAMP_TO_EDGE semantics (texel i center at
+    (i + 0.5) / N).  Out-of-range positions clamp to the edge."""
+    d, h, w, _ = volume.shape
+    dims = jnp.array([w, h, d], jnp.float32)
+    u = jnp.clip(position * dims - 0.5, -1.0, dims - 1.0)
+    i0 = jnp.floor(u)
+    f = u - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    maxi = jnp.array([w - 1, h - 1, d - 1], jnp.int32)
+    i0 = jnp.clip(i0, 0, maxi)
+    i1 = jnp.clip(i1, 0, maxi)
+
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
+    fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
+
+    c000 = _gather3d(volume, x0, y0, z0)
+    c100 = _gather3d(volume, x1, y0, z0)
+    c010 = _gather3d(volume, x0, y1, z0)
+    c110 = _gather3d(volume, x1, y1, z0)
+    c001 = _gather3d(volume, x0, y0, z1)
+    c101 = _gather3d(volume, x1, y0, z1)
+    c011 = _gather3d(volume, x0, y1, z1)
+    c111 = _gather3d(volume, x1, y1, z1)
+
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def sample_volume_nearest(volume, position):
+    """NEAREST + CLAMP_TO_EDGE fetch (Volume.setFilter('nearest') parity)."""
+    d, h, w, _ = volume.shape
+    dims = jnp.array([w, h, d], jnp.float32)
+    u = jnp.clip(position * dims, 0.0, dims - 0.5)
+    i = u.astype(jnp.int32)
+    maxi = jnp.array([w - 1, h - 1, d - 1], jnp.int32)
+    i = jnp.clip(i, 0, maxi)
+    return _gather3d(volume, i[..., 0], i[..., 1], i[..., 2])
+
+
+def sample_volume_cubic(volume, position):
+    """Smoothstep-warped trilinear ≈ cubic filter
+    (mixins/quasiCubicSampling.glsl:3-9)."""
+    d, h, w, _ = volume.shape
+    dims = jnp.array([w, h, d], jnp.float32)
+    u = position * dims + 0.5
+    f = u - jnp.floor(u)
+    u = jnp.floor(u) + f * f * (3.0 - 2.0 * f)
+    return sample_volume(volume, (u - 0.5) / dims)
+
+
+def sample_texture2d(texture, uv):
+    """Bilinear fetch of an (H, W, C) texture at (..., 2) uv in [0, 1],
+    CLAMP_TO_EDGE."""
+    h, w, _ = texture.shape
+    dims = jnp.array([w, h], jnp.float32)
+    u = jnp.clip(uv * dims - 0.5, -1.0, dims - 1.0)
+    i0 = jnp.floor(u)
+    f = u - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    maxi = jnp.array([w - 1, h - 1], jnp.int32)
+    i0 = jnp.clip(i0, 0, maxi)
+    i1 = jnp.clip(i1, 0, maxi)
+
+    flat = texture.reshape(h * w, -1)
+
+    def gather(ix, iy):
+        return jnp.take(flat, iy * w + ix, axis=0)
+
+    fx, fy = f[..., 0:1], f[..., 1:2]
+    c00 = gather(i0[..., 0], i0[..., 1])
+    c10 = gather(i1[..., 0], i0[..., 1])
+    c01 = gather(i0[..., 0], i1[..., 1])
+    c11 = gather(i1[..., 0], i1[..., 1])
+    c0 = c00 * (1 - fx) + c10 * fx
+    c1 = c01 * (1 - fx) + c11 * fx
+    return c0 * (1 - fy) + c1 * fy
+
+
+def volume_rg(volume, position, filter="linear"):
+    """``texture(uVolume, p).rg`` — (value, gradient-magnitude) pair; the
+    second channel reads 0 for single-channel volumes (GL RED format)."""
+    if filter == "nearest":
+        s = sample_volume_nearest(volume, position)
+    elif filter == "cubic":
+        s = sample_volume_cubic(volume, position)
+    else:
+        s = sample_volume(volume, position)
+    if s.shape[-1] >= 2:
+        return s[..., :2]
+    return jnp.concatenate([s, jnp.zeros_like(s)], axis=-1)
+
+
+def sample_volume_color(volume, tf, position, filter="linear"):
+    """The shared composite sampler: trilinear 3D fetch feeding a bilinear 2D
+    transfer-function lookup (MCMRenderer.glsl:85-89 et al.) → (..., 4)."""
+    return sample_texture2d(tf, volume_rg(volume, position, filter))
+
+
+def sample_environment(env, direction):
+    """Equirectangular environment lookup (MCMRenderer.glsl:80-83):
+    uv = (atan2(d.x, -d.z), 2·asin(-d.y)) / (2π, 2π) + 0.5."""
+    d = direction
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * INVPI * 0.5 + 0.5
+    v = jnp.arcsin(jnp.clip(-d[..., 1], -1.0, 1.0)) * 2.0 * INVPI * 0.5 + 0.5
+    return sample_texture2d(env, jnp.stack([u, v], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Shading helpers
+# ---------------------------------------------------------------------------
+
+def value_gradient(volume, tf, position, h):
+    """Central-difference gradient of the TF alpha channel
+    (ISORenderer.glsl:165-177)."""
+    def alpha(p):
+        return sample_volume_color(volume, tf, p)[..., 3]
+
+    offs = jnp.eye(3, dtype=jnp.float32) * h
+    grads = [
+        alpha(position + offs[i]) - alpha(position - offs[i])
+        for i in range(3)
+    ]
+    return jnp.stack(grads, axis=-1) / (2.0 * h)
+
+
+def raw_gradient(volume, position, voxel_size):
+    """Central-difference gradient of the raw volume value — LAO convention
+    (LAORenderer.glsl:73-80, note its negated sign)."""
+    def value(p):
+        return sample_volume(volume, p)[..., 0]
+
+    offs = jnp.eye(3, dtype=jnp.float32) * jnp.asarray(voxel_size, jnp.float32)
+    grads = [
+        value(position - offs[i]) - value(position + offs[i])
+        for i in range(3)
+    ]
+    return jnp.stack(grads, axis=-1)
+
+
+def henyey_greenstein_cosine(state, g):
+    """HG scattering-angle cosine (MCMRenderer.glsl:91-95)."""
+    state, u = rng.uniform(state)
+    g2 = g * g
+    c = (1.0 - g2) / (1.0 - g + 2.0 * g * u)
+    return state, (1.0 + g2 - c * c) / (2.0 * g)
+
+
+def henyey_greenstein(state, g, direction):
+    """Sample an HG-distributed direction around ``direction``
+    (MCMRenderer.glsl:97-106).  ``g`` is a static Python float, matching the
+    uniform-branch semantics of the shader (both branches consume the sphere
+    sample; the isotropic branch skips the extra cosine draw)."""
+    state, u = rng.sphere(state)
+    if abs(float(g)) < 1e-5:
+        return state, u
+    state, hgcos = henyey_greenstein_cosine(state, g)
+    proj = jnp.sum(u * direction, axis=-1, keepdims=True)
+    perp = u - proj * direction
+    circle = perp / jnp.sqrt(
+        jnp.maximum(jnp.sum(perp * perp, axis=-1, keepdims=True), 1e-12))
+    hgcos = hgcos[..., None]
+    return state, jnp.sqrt(jnp.maximum(1.0 - hgcos * hgcos, 0.0)) * circle \
+        + hgcos * direction
+
+
+def max3(v):
+    return jnp.max(v, axis=-1)
+
+
+def mean3(v):
+    return jnp.mean(v, axis=-1)
