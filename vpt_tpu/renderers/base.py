@@ -1,0 +1,157 @@
+"""Renderer protocol: the reference's four-stage pipeline, made functional.
+
+The reference orchestrates every renderer through
+``reset → generate → integrate → render`` over ping-ponged GL framebuffers
+(``AbstractRenderer.js:60-92``).  Here each renderer is a set of pure
+functions over an explicit state pytree:
+
+- ``reset(params, height, width) -> state``  — clear/seed accumulation
+  (replaces the reset draw into the DoubleBuffer)
+- ``render_frame(state, scene, params, seed, frame) -> state``  — one
+  progressive frame: generate a stochastic sample and fold it into the
+  accumulation (replaces generate+integrate+swap; the ping-pong swap becomes
+  functional state threading, and jit buffer donation makes it in-place)
+- ``display(state, scene, params) -> (H, W, 4)``  — produce the HDR image
+  the tone mapper consumes (replaces the render stage)
+
+Parameters are dataclasses whose integer/bool fields (loop trip counts,
+feature toggles — the reference's shader-recompile-class knobs) are static
+under jit, while float fields (extinction, anisotropy, … — GL uniforms) are
+traced, so changing them does not recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import environment as envmod
+from ..scene import CameraState
+
+
+def static_field(**kwargs):
+    """Field treated as static (non-traced) under jit — structural knobs."""
+    return dataclasses.field(metadata={"static": True}, **kwargs)
+
+
+def params_dataclass(cls):
+    """Register a params dataclass as a pytree: float fields are leaves,
+    static fields are aux data (hashable, trigger recompilation on change)."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = dataclasses.fields(cls)
+    leaf_names = [f.name for f in fields if not f.metadata.get("static")]
+    static_names = [f.name for f in fields if f.metadata.get("static")]
+
+    def flatten(obj):
+        leaves = tuple(
+            jnp.asarray(getattr(obj, n), jnp.float32) for n in leaf_names)
+        aux = tuple(getattr(obj, n) for n in static_names)
+        return leaves, aux
+
+    def unflatten(aux, leaves):
+        kwargs = dict(zip(leaf_names, leaves))
+        kwargs.update(dict(zip(static_names, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Scene:
+    """Everything a renderer samples: the volume texture, the 2D transfer
+    function, the environment map, and the camera matrices."""
+
+    volume: jnp.ndarray               # (D, H, W, C) float32
+    transfer: jnp.ndarray             # (TH, TW, 4) float32
+    environment: jnp.ndarray          # (EH, EW, 4) float32
+    mvp_inverse: jnp.ndarray          # (4, 4) inverse of P·V·M·center
+    model_view: jnp.ndarray           # (4, 4) V·M·center (DOS/ISO extras)
+    projection: jnp.ndarray           # (4, 4)
+
+    def tree_flatten(self):
+        return (self.volume, self.transfer, self.environment,
+                self.mvp_inverse, self.model_view, self.projection), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_scene(volume, transfer, camera: Optional[Any] = None,
+               environment=None, volume_transform=None) -> Scene:
+    """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
+    ``camera`` a scene-graph Node, a CameraState, or None (default camera)."""
+    from ..scene import default_camera  # local import to avoid cycle
+    from ..volume import Volume
+
+    if isinstance(volume, Volume):
+        volume = volume.data
+    if camera is None:
+        camera = default_camera()
+    if not isinstance(camera, CameraState):
+        camera = CameraState.from_nodes(camera, volume_transform)
+    if environment is None:
+        environment = envmod.white()
+    return Scene(
+        volume=jnp.asarray(volume, jnp.float32),
+        transfer=jnp.asarray(transfer, jnp.float32),
+        environment=jnp.asarray(environment, jnp.float32),
+        mvp_inverse=camera.mvp_inverse,
+        model_view=camera.model_view,
+        projection=camera.projection,
+    )
+
+
+class Renderer:
+    """Object-style wrapper over a renderer module's pure functions, mirroring
+    the AbstractRenderer API (reset/render/getTexture) with jit caching and
+    accumulation-state donation."""
+
+    #: module providing reset/render_frame/display — set by subclass/factory
+    module = None
+    Params = None
+
+    def __init__(self, params=None, height: int = 512, width: int = 512):
+        self.params = params if params is not None else self.Params()
+        self.height = height
+        self.width = width
+        self.frame_number = 0
+        self.state = None
+        self._render_frame = jax.jit(self.module.render_frame,
+                                     donate_argnums=(0,))
+        self._display = jax.jit(self.module.display)
+
+    # -- protocol ----------------------------------------------------------
+    def reset(self, scene: Optional[Scene] = None):
+        self.frame_number = 0
+        self.state = self.module.reset(self.params, self.height, self.width,
+                                       scene)
+        return self.state
+
+    def render(self, scene: Scene, seed: float):
+        """One progressive frame (generate + integrate)."""
+        if self.state is None:
+            self.reset(scene)
+        self.frame_number += 1
+        self.state = self._render_frame(
+            self.state, scene, self.params, jnp.float32(seed),
+            jnp.int32(self.frame_number))
+        return self.state
+
+    def display(self, scene: Scene):
+        return self._display(self.state, scene, self.params)
+
+    def render_progressive(self, scene: Scene, frames: int, seed0: int = 0):
+        """Run ``frames`` progressive iterations and return the HDR image.
+        Seeds derive deterministically from the frame index."""
+        import numpy as np
+        rs = np.random.default_rng(seed0)
+        self.reset(scene)
+        for _ in range(frames):
+            self.render(scene, float(rs.random(dtype=np.float32)))
+        return self.display(scene)

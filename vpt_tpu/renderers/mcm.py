@@ -1,0 +1,157 @@
+"""MCM — Monte-Carlo multiple scattering via Woodcock/null-collision tracking.
+
+The flagship renderer.  Re-implements the reference MCM kernel
+(``src/glsl/renderers/MCMRenderer.glsl``): persistent per-pixel photon state
+{position, direction+bounces, transmittance, radiance+samples} — the four
+RGBA32F MRT attachments of ``MCMRenderer.js:214-263`` become a pytree of
+(H, W, ·) arrays — advanced by ``steps`` null-collision events per
+progressive frame (integrate:129-166):
+
+  1. exponential free-path sample, position += dist · direction
+  2. classify: out-of-bounds → deposit env radiance; absorption
+     (P = 1 − P_null − P_scatter) → deposit black; scattering
+     (P = α · max3(rgb), zeroed past the bounce cap) → tint transmittance,
+     HG-resample direction; else null collision
+  3. deposits fold into a per-pixel running mean
+     ``radiance += (r − radiance)/samples`` and re-seed the photon through
+     the stochastic unprojection (resetPhoton:70-78)
+
+TPU mapping: the per-pixel divergent state machine becomes a masked
+``lax.fori_loop`` over the whole pixel grid — every branch outcome is
+computed vectorized and committed with ``where`` selects.  RNG draws follow
+the exact GLSL stream: tentative draws are evaluated unconditionally but the
+per-pixel uint32 state only advances by the draws the taken branch consumes,
+so output matches a sequential per-pixel execution bit for bit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import rng, sampling
+from .base import Scene, params_dataclass, static_field
+
+
+@params_dataclass
+class Params:
+    extinction: float = 1.0
+    anisotropy: float = 0.0
+    blur: float = 0.0
+    max_bounces: int = static_field(default=8)
+    steps: int = static_field(default=8)
+
+
+def _photon_reset(state, ndc, scene: Scene, params: Params, inv_res):
+    """resetPhoton (MCMRenderer.glsl:70-78): stochastic unproject, clip to
+    the cube, clear transmittance/bounces.  Consumes 4 uniforms."""
+    state, ray_from, ray_to = sampling.unproject_rand(
+        state, ndc, scene.mvp_inverse, inv_res, params.blur)
+    direction = ray_to - ray_from
+    direction = direction / jnp.sqrt(
+        jnp.maximum(jnp.sum(direction ** 2, axis=-1, keepdims=True), 1e-20))
+    tb = jnp.maximum(sampling.intersect_cube(ray_from, direction), 0.0)
+    position = ray_from + tb[..., 0:1] * direction
+    return state, position, direction
+
+
+def reset(params: Params, height: int, width: int, scene: Scene = None,
+          seed=0.0):
+    """MCM reset stage (MCMRenderer.glsl:259-275): seed every photon through
+    the stochastic unprojection; radiance initializes to 1."""
+    assert scene is not None, "MCM reset needs the scene (camera rays)"
+    ndc = sampling.pixel_ndc(height, width)
+    inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
+    state = rng.seed_pixels(ndc, jnp.float32(seed))
+    state, position, direction = _photon_reset(state, ndc, scene, params,
+                                               inv_res)
+    shape = (height, width)
+    return {
+        "position": position,
+        "direction": direction,
+        "bounces": jnp.zeros(shape, jnp.float32),
+        "transmittance": jnp.ones(shape + (3,), jnp.float32),
+        "radiance": jnp.ones(shape + (3,), jnp.float32),
+        "samples": jnp.zeros(shape, jnp.float32),
+    }
+
+
+def render_frame(state, scene: Scene, params: Params, seed, frame_number):
+    """One progressive frame = ``steps`` null-collision events per pixel
+    (MCMRenderer.glsl:116-171)."""
+    height, width = state["position"].shape[:2]
+    ndc = sampling.pixel_ndc(height, width)
+    mapped = ndc * 0.5 + 0.5
+    inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
+    # per-pixel stream: hash(uvec3(bits(mapped.xy), bits(seed))) (glsl:128)
+    rstate = rng.seed_pixels(mapped, jnp.asarray(seed, jnp.float32))
+
+    def event(_, carry):
+        ph, rstate = carry
+        rstate, dist = rng.exponential(rstate, params.extinction)
+        position = ph["position"] + dist[..., None] * ph["direction"]
+
+        vs = sampling.sample_volume_color(scene.volume, scene.transfer,
+                                          position)
+        alpha = vs[..., 3]
+        p_null = 1.0 - alpha
+        capped = ph["bounces"] >= params.max_bounces
+        p_scatter = jnp.where(capped, 0.0, alpha * sampling.max3(vs[..., :3]))
+        p_absorb = 1.0 - p_null - p_scatter
+
+        rstate, fortune = rng.uniform(rstate)
+        oob = jnp.any((position > 1.0) | (position < 0.0), axis=-1)
+        absorb = (~oob) & (fortune < p_absorb)
+        scatter = (~oob) & (~absorb) & (fortune < p_absorb + p_scatter)
+        deposit = oob | absorb
+
+        # radiance deposit: env radiance on escape, black on absorption,
+        # Welford-style running mean (glsl:147-157)
+        env = sampling.sample_environment(scene.environment, ph["direction"])
+        r_new = jnp.where(oob[..., None],
+                          ph["transmittance"] * env[..., :3], 0.0)
+        samples = jnp.where(deposit, ph["samples"] + 1.0, ph["samples"])
+        radiance = jnp.where(
+            deposit[..., None],
+            ph["radiance"] + (r_new - ph["radiance"])
+            / jnp.maximum(samples, 1.0)[..., None],
+            ph["radiance"])
+
+        # tentative branch continuations — state advances only per the
+        # draws the taken branch consumes
+        rs_reset, pos_reset, dir_reset = _photon_reset(
+            rstate, ndc, scene, params, inv_res)
+        rs_scat, dir_scat = sampling.henyey_greenstein(
+            rstate, params.anisotropy, ph["direction"])
+
+        dmask = deposit[..., None]
+        smask = scatter[..., None]
+        new_ph = {
+            "position": jnp.where(dmask, pos_reset, position),
+            "direction": jnp.where(dmask, dir_reset,
+                                   jnp.where(smask, dir_scat,
+                                             ph["direction"])),
+            "bounces": jnp.where(deposit, 0.0,
+                                 jnp.where(scatter, ph["bounces"] + 1.0,
+                                           ph["bounces"])),
+            "transmittance": jnp.where(
+                dmask, 1.0,
+                jnp.where(smask, ph["transmittance"] * vs[..., :3],
+                          ph["transmittance"])),
+            "radiance": radiance,
+            "samples": samples,
+        }
+        new_state = jnp.where(deposit, rs_reset,
+                              jnp.where(scatter, rs_scat, rstate))
+        return new_ph, new_state
+
+    ph, _ = lax.fori_loop(0, params.steps, event, (state, rstate))
+    return ph
+
+
+def display(state, scene: Scene, params: Params):
+    """vec4(radiance, 1) (MCM render fragment)."""
+    radiance = state["radiance"]
+    return jnp.concatenate(
+        [radiance, jnp.ones(radiance.shape[:-1] + (1,), jnp.float32)],
+        axis=-1)

@@ -1,0 +1,65 @@
+"""MIP — maximum-intensity projection.
+
+Re-implements the reference MIP renderer (``src/glsl/renderers/
+MIPRenderer.glsl`` generate:51-72, integrate:105-109; defaults
+``MIPRenderer.js:18-31``): a per-frame jittered march taking the maximum
+transfer-function alpha along the ray, integrated as a running max over
+progressive frames.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import rng, sampling
+from .base import Scene, params_dataclass, static_field
+
+
+@params_dataclass
+class Params:
+    steps: int = static_field(default=64)
+
+
+def reset(params: Params, height: int, width: int, scene=None):
+    return jnp.zeros((height, width), jnp.float32)
+
+
+def generate(scene: Scene, params: Params, seed, height: int, width: int):
+    ndc = sampling.pixel_ndc(height, width)
+    ray_from, ray_to = sampling.unproject(ndc, scene.mvp_inverse)
+    direction = ray_to - ray_from
+    tb = jnp.maximum(sampling.intersect_cube(ray_from, direction), 0.0)
+    miss = tb[..., 0] >= tb[..., 1]
+
+    start = ray_from + tb[..., 0:1] * direction
+    end = ray_from + tb[..., 1:2] * direction
+    step_size = jnp.float32(1.0 / params.steps)
+    _, offset0 = rng.uniform(rng.pcg(rng.float_bits_to_uint(seed)))
+
+    # the GLSL do/while walks offset = mod(offset + step, 1) for exactly
+    # `steps` iterations (MIPRenderer.glsl:64-69)
+    def step(val, i):
+        offset = jnp.mod(offset0 + i.astype(jnp.float32) * step_size, 1.0)
+        position = start + offset * (end - start)
+        alpha = sampling.sample_volume_color(
+            scene.volume, scene.transfer, position)[..., 3]
+        return jnp.maximum(val, alpha), None
+
+    val0 = jnp.zeros((height, width), jnp.float32)
+    val, _ = lax.scan(step, val0, jnp.arange(params.steps))
+    return jnp.where(miss, 0.0, val)
+
+
+def render_frame(state, scene: Scene, params: Params, seed, frame_number):
+    """integrate = max(acc, frame) (MIP integrate fragment)."""
+    height, width = state.shape[:2]
+    frame = generate(scene, params, seed, height, width)
+    return jnp.maximum(state, frame)
+
+
+def display(state, scene: Scene, params: Params):
+    """grayscale expansion: vec4(acc, acc, acc, 1)."""
+    rgb = jnp.repeat(state[..., None], 3, axis=-1)
+    return jnp.concatenate(
+        [rgb, jnp.ones(state.shape + (1,), jnp.float32)], axis=-1)

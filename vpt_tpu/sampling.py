@@ -250,20 +250,23 @@ def henyey_greenstein_cosine(state, g):
 
 def henyey_greenstein(state, g, direction):
     """Sample an HG-distributed direction around ``direction``
-    (MCMRenderer.glsl:97-106).  ``g`` is a static Python float, matching the
-    uniform-branch semantics of the shader (both branches consume the sphere
-    sample; the isotropic branch skips the extra cosine draw)."""
-    state, u = rng.sphere(state)
-    if abs(float(g)) < 1e-5:
-        return state, u
-    state, hgcos = henyey_greenstein_cosine(state, g)
+    (MCMRenderer.glsl:97-106).  ``g`` may be traced (a GL-uniform-like
+    dynamic parameter): like the shader, the isotropic |g| < EPS case returns
+    the raw sphere sample and consumes one fewer uniform — the RNG state is
+    selected accordingly so stream semantics match the GLSL in both cases."""
+    state_sphere, u = rng.sphere(state)
+    iso = jnp.abs(jnp.asarray(g, jnp.float32)) < EPS
+    g_safe = jnp.where(iso, jnp.float32(0.5), g)
+    state_hg, hgcos = henyey_greenstein_cosine(state_sphere, g_safe)
     proj = jnp.sum(u * direction, axis=-1, keepdims=True)
     perp = u - proj * direction
     circle = perp / jnp.sqrt(
         jnp.maximum(jnp.sum(perp * perp, axis=-1, keepdims=True), 1e-12))
     hgcos = hgcos[..., None]
-    return state, jnp.sqrt(jnp.maximum(1.0 - hgcos * hgcos, 0.0)) * circle \
+    hg_dir = jnp.sqrt(jnp.maximum(1.0 - hgcos * hgcos, 0.0)) * circle \
         + hgcos * direction
+    return (jnp.where(iso, state_sphere, state_hg),
+            jnp.where(iso, u, hg_dir))
 
 
 def max3(v):
