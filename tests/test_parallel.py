@@ -1,0 +1,130 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4.4):
+N-way sharded renders must equal the single-device render bit for bit, and
+sharded-volume gradients must equal replicated gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vpt_tpu import transfer, volume
+from vpt_tpu.parallel import make_mesh, sharded_scene
+from vpt_tpu.parallel.shard import place_state, shard_display, shard_render_frame
+from vpt_tpu.renderers import eam, make_scene, mcm
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(volume.sphere_volume(16),
+                      transfer.gray_ramp(alpha_scale=1.0))
+
+
+def test_mcm_shard_invariance(scene):
+    """Ray/tile data parallelism: identical pixels regardless of sharding."""
+    params = mcm.Params(extinction=20.0, steps=8)
+    h = w = 32
+
+    # single device
+    state1 = mcm.reset(params, h, w, scene)
+    state1 = jax.jit(mcm.render_frame)(state1, scene, params,
+                                       jnp.float32(0.3), jnp.int32(1))
+
+    # 8-way row sharding
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc = sharded_scene(scene, mesh)
+    state8 = place_state(mcm.reset(params, h, w, sc), mesh)
+    frame_fn = shard_render_frame(mcm, mesh, state8, donate=False)
+    state8 = frame_fn(state8, sc, params, jnp.float32(0.3), jnp.int32(1))
+
+    for key in state1:
+        a = np.asarray(state1[key])
+        b = np.asarray(state8[key])
+        assert np.array_equal(a, b), key
+
+
+def test_mcm_sharded_display(scene):
+    params = mcm.Params(extinction=20.0, steps=4)
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc = sharded_scene(scene, mesh)
+    state = place_state(mcm.reset(params, 16, 16, sc), mesh)
+    disp = shard_display(mcm, mesh, state)
+    img = disp(state, sc, params)
+    assert img.shape == (16, 16, 4)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_eam_spatial_volume_sharding(scene):
+    """Spatial sharding: volume z-sharded over 'space' gives the same image
+    as replicated."""
+    params = eam.Params(slices=16, random=False)
+    h = w = 16
+
+    img_ref = jax.jit(eam.generate, static_argnums=(3, 4))(
+        scene, params, jnp.float32(0.0), h, w)
+
+    mesh = make_mesh(8, space=4)
+    sc = sharded_scene(scene, mesh, shard_volume=True)
+    img_sh = jax.jit(eam.generate, static_argnums=(3, 4))(
+        sc, params, jnp.float32(0.0), h, w)
+    assert np.allclose(np.asarray(img_ref), np.asarray(img_sh), atol=1e-6)
+
+
+def test_gradient_allreduce_matches_single_device(scene):
+    """psum-accumulated voxel gradients == single-device gradients."""
+    params = eam.Params(slices=8, random=False)
+    h = w = 16
+    vol = scene.volume
+
+    def loss(volume_data, sc):
+        sc2 = type(sc)(volume=volume_data, transfer=sc.transfer,
+                       environment=sc.environment,
+                       mvp_inverse=sc.mvp_inverse, model_view=sc.model_view,
+                       projection=sc.projection)
+        img = eam.generate(sc2, params, jnp.float32(0.0), h, w)
+        return jnp.sum(img[..., :3] ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(vol, scene)
+
+    mesh = make_mesh(8, space=2)
+    sc = sharded_scene(scene, mesh, shard_volume=True)
+    g_sh = jax.jit(jax.grad(loss))(sc.volume, sc)
+    assert np.allclose(np.asarray(g_ref), np.asarray(g_sh), atol=1e-5)
+
+
+def test_train_step_on_mesh(scene):
+    """One optimization step with dp+sp sharding runs and changes the volume."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vpt_tpu.scene import CameraState, default_camera
+    from vpt_tpu.train import make_train_step
+
+    mesh = make_mesh(8, space=2)
+    vol_sh = NamedSharding(mesh, P("space", None, None, None))
+    img_sh = NamedSharding(mesh, P("data", None, None))
+
+    cam = CameraState.from_nodes(default_camera())
+    mats = (cam.mvp_inverse, cam.model_view, cam.projection)
+    vol = jax.device_put(volume.sphere_volume(16).data, vol_sh)
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    target = jax.device_put(jnp.zeros((16, 16, 4), jnp.float32), img_sh)
+
+    optimizer = optax.sgd(0.1)
+    opt_state = optimizer.init({"volume": vol})
+    step = jax.jit(make_train_step(optimizer, params=eam.Params(
+        slices=8, random=False), height=16, width=16))
+    loss1, vol1, _, opt_state = step(vol, tf, opt_state, mats, target,
+                                     jnp.float32(0.0))
+    loss2, vol2, _, _ = step(vol1, tf, opt_state, mats, target,
+                             jnp.float32(0.0))
+    assert float(loss2) < float(loss1)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

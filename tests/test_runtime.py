@@ -1,0 +1,116 @@
+import numpy as np
+import jax.numpy as jnp
+
+from vpt_tpu import transfer, volume
+from vpt_tpu.runtime import CircleAnimator, OrbitCameraAnimator, RenderingContext
+from vpt_tpu.scene import default_camera
+
+
+def make_ctx(renderer="eam", resolution=32):
+    ctx = RenderingContext(resolution=resolution)
+    ctx.set_volume(volume.sphere_volume(16))
+    ctx.set_transfer_function(transfer.gray_ramp(alpha_scale=1.0))
+    ctx.choose_renderer(renderer)
+    ctx.choose_tone_mapper("reinhard")
+    return ctx
+
+
+def test_context_render_and_display():
+    ctx = make_ctx()
+    ctx.render(frames=2)
+    img = np.asarray(ctx.get_display_image())
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(img).all()
+    assert ctx.renderer.frame_number == 2
+
+
+def test_camera_motion_resets_accumulation():
+    ctx = make_ctx()
+    ctx.render(frames=1)
+    assert ctx.renderer.state is not None
+    ctx.camera_animator.rotate(0.1, 0.0)
+    assert ctx.renderer.state is None  # reset fired via change listener
+    ctx.render(frames=1)
+    assert ctx.renderer.frame_number >= 1
+
+
+def test_tf_change_resets():
+    ctx = make_ctx()
+    ctx.render(frames=1)
+    ctx.set_transfer_function(transfer.gray_ramp(alpha_scale=0.5))
+    assert ctx.renderer.state is None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ctx = make_ctx("eam")
+    ctx.render(frames=3)
+    img_before = np.asarray(ctx.get_display_image())
+    path = tmp_path / "ckpt.npz"
+    ctx.save_checkpoint(path)
+
+    ctx2 = make_ctx("eam")
+    ctx2.load_checkpoint(path)
+    assert ctx2.renderer.frame_number == 3
+    img_after = np.asarray(ctx2.get_display_image())
+    assert np.allclose(img_before, img_after)
+
+
+def test_checkpoint_roundtrip_mcm(tmp_path):
+    ctx = make_ctx("mcm")
+    ctx.render(frames=2)
+    path = tmp_path / "mcm.npz"
+    ctx.save_checkpoint(path)
+    ctx2 = make_ctx("mcm")
+    ctx2.load_checkpoint(path)
+    a = np.asarray(ctx.get_display_image())
+    b = np.asarray(ctx2.get_display_image())
+    assert np.allclose(a, b)
+
+
+def test_record_animation(tmp_path):
+    ctx = make_ctx()
+    out = ctx.record_animation(tmp_path / "anim", frames=3, spp=1)
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
+
+
+def test_orbit_animator_distance_and_focus():
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    assert abs(orbit.distance - 2.0) < 1e-5
+    orbit.rotate(0.25 * np.pi, 0.0)
+    pos = np.asarray(cam.transform.local_translation)
+    assert abs(np.linalg.norm(pos) - 2.0) < 1e-4  # stays on the orbit sphere
+    orbit.zoom(-1.0)
+    assert orbit.distance < 2.0
+
+
+def test_orbit_camera_looks_at_focus():
+    """After any rotation the focus must project to the view center."""
+    from vpt_tpu import math3d as m4
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    orbit.rotate(0.3, 0.2)
+    view = cam.transform.inverse_global_matrix
+    f = m4.transform_point(view, jnp.zeros(3))
+    assert abs(float(f[0])) < 1e-4 and abs(float(f[1])) < 1e-4
+    assert float(f[2]) < 0  # in front of the camera
+
+
+def test_circle_animator():
+    cam = default_camera()
+    circ = CircleAnimator(cam, center=(0, 0, 2), radius=0.5, frequency=1.0)
+    circ.update(0.0)
+    p0 = np.asarray(cam.transform.local_translation)
+    circ.update(0.5)
+    p1 = np.asarray(cam.transform.local_translation)
+    assert np.allclose(np.linalg.norm(p0 - [0, 0, 2]), 0.5, atol=1e-5)
+    assert np.allclose(p0, -(p1 - [0, 0, 2]) + [0, 0, 2], atol=1e-5)
+
+
+def test_profiler_counts():
+    ctx = make_ctx()
+    ctx.render(frames=2)
+    stats = ctx.profiler.stages["render_frame"]
+    assert stats.calls == 2
+    assert ctx.profiler.events == 2 * 32 * 32

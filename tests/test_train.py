@@ -1,0 +1,88 @@
+"""Gradient correctness (finite-difference oracles) and inverse rendering."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vpt_tpu import transfer, volume
+from vpt_tpu.renderers import eam
+from vpt_tpu.scene import CameraState, default_camera
+from vpt_tpu.train import fit, render_eam
+
+
+def _mats():
+    cam = CameraState.from_nodes(default_camera())
+    return (cam.mvp_inverse, cam.model_view, cam.projection)
+
+
+def test_eam_voxel_gradients_match_finite_difference():
+    """allclose(1e-4) vs central finite differences on voxel densities
+    (BASELINE.md gradient-correctness criterion)."""
+    mats = _mats()
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    params = eam.Params(slices=16, random=False, extinction=50.0)
+    n = 8
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(0.1, 0.6, (n, n, n, 1)).astype(np.float32))
+
+    def loss(v):
+        img = render_eam(v, tf, mats, params, jnp.float32(0.0), 16, 16)
+        return jnp.mean(img[..., :3])
+
+    g = np.asarray(jax.grad(loss)(vol))
+
+    # probe a handful of voxels with central differences (float64 off, so
+    # use a moderately large eps and a loose-but-meaningful tolerance)
+    eps = 1e-2
+    probes = [(4, 4, 4, 0), (2, 5, 3, 0), (6, 2, 4, 0), (3, 3, 6, 0)]
+    for idx in probes:
+        vp = vol.at[idx].add(eps)
+        vm = vol.at[idx].add(-eps)
+        fd = (float(loss(vp)) - float(loss(vm))) / (2 * eps)
+        assert abs(fd - g[idx]) < 1e-4 + 0.05 * abs(fd), (idx, fd, g[idx])
+
+
+def test_eam_tf_gradients_match_finite_difference():
+    mats = _mats()
+    params = eam.Params(slices=16, random=False, extinction=50.0)
+    vol = volume.sphere_volume(8).data
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+
+    def loss(t):
+        img = render_eam(vol, t, mats, params, jnp.float32(0.0), 16, 16)
+        return jnp.mean(img[..., :3])
+
+    g = np.asarray(jax.grad(loss)(tf))
+    eps = 1e-2
+    for idx in [(0, 128, 3), (1, 64, 0), (0, 200, 3)]:
+        tp = tf.at[idx].add(eps)
+        tm = tf.at[idx].add(-eps)
+        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        assert abs(fd - g[idx]) < 1e-4 + 0.05 * abs(fd), (idx, fd, g[idx])
+
+
+def test_tf_bump_gradients_flow():
+    """Gradients reach the Gaussian-bump parameters through rasterize."""
+    bumps = transfer.TransferFunctionBumps.default()
+
+    def loss(b):
+        return jnp.sum(transfer.rasterize(b, 32, 32))
+
+    g = jax.grad(loss)(bumps)
+    assert np.isfinite(np.asarray(g.positions)).all()
+    assert float(jnp.abs(g.colors).sum()) > 0.0
+
+
+def test_fit_recovers_volume_loss_decreases():
+    """Inverse rendering drives the loss down by >10x on a small problem."""
+    mats = _mats()
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    params = eam.Params(slices=16, random=False)
+    target_vol = volume.sphere_volume(8)
+    target = render_eam(target_vol.data, tf, mats, params, jnp.float32(0.0),
+                        24, 24)
+
+    init = jnp.full((8, 8, 8, 1), 0.2, jnp.float32)
+    _, _, losses = fit(np.asarray(target), mats, init, tf, steps=60,
+                       learning_rate=0.1, params=params)
+    assert losses[-1] < losses[0] * 0.1

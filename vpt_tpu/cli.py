@@ -1,0 +1,285 @@
+"""Command-line interface.
+
+The reference exposes every renderer/tone-mapper parameter through
+declarative PropertyBag schemas that auto-build its settings dialogs
+(``PropertyBag.js:9-15`` → ``DialogConstructor.js:22-34``).  Here the same
+role is played by the renderer Params dataclasses: their fields are
+introspected into CLI flags (``--mcm-extinction``, ``--iso-isovalue``, …),
+so the full parameter surface is scriptable.
+
+Subcommands:
+  render   — progressive render of a volume to PNG (sample-counted)
+  animate  — orbit/circle animation to a PNG sequence
+  fit      — inverse rendering: fit voxel densities to a target image
+  serve    — static file server with HTTP Range support (BVP streaming)
+  info     — list renderers / tone mappers / parameters
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def _add_params_args(parser, key, params_cls):
+    for f in dataclasses.fields(params_cls):
+        name = f"--{key}-{f.name.replace('_', '-')}"
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=None,
+                                metavar="BOOL")
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=None)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=None)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, type=lambda s: tuple(
+                float(x) for x in s.split(",")), default=None,
+                metavar="X,Y,Z")
+
+
+def _collect_params(args, key, params_cls):
+    kwargs = {}
+    for f in dataclasses.fields(params_cls):
+        attr = f"{key}_{f.name}"
+        val = getattr(args, attr, None)
+        if val is not None:
+            kwargs[f.name] = val
+    return params_cls(**kwargs) if kwargs else params_cls()
+
+
+def _load_volume(args):
+    import numpy as np
+
+    from . import volume as vol_mod
+    from .io import readers
+
+    spec = args.volume
+    if spec.startswith("sphere:"):
+        return vol_mod.sphere_volume(int(spec.split(":")[1]))
+    if spec.startswith("shell:"):
+        return vol_mod.shell_volume(int(spec.split(":")[1]))
+    if spec.startswith("blobs:"):
+        return vol_mod.blobs_volume(int(spec.split(":")[1]))
+    if spec.endswith(".bvp") or spec.endswith(".zip"):
+        return readers.load_volume(readers.BVPReader(spec))
+    if spec.endswith(".raw"):
+        if not args.raw_dims:
+            raise SystemExit("--raw-dims WIDTH,HEIGHT,DEPTH required "
+                             "for raw volumes")
+        w, h, d = (int(x) for x in args.raw_dims.split(","))
+        gl_type = {"uint8": 5121, "uint16": 5123,
+                   "float32": 5126}[args.raw_type]
+        reader = readers.RAWReader(spec, w, h, d, gl_type=gl_type)
+        return readers.load_volume(reader)
+    raise SystemExit(f"unrecognized volume spec: {spec}")
+
+
+def _build_context(args):
+    from .runtime import RenderingContext
+    from .transfer import TransferFunctionBumps, gray_ramp, rasterize
+
+    ctx = RenderingContext(resolution=args.resolution)
+    ctx.set_volume(_load_volume(args))
+
+    if args.tf:
+        with open(args.tf) as f:
+            ctx.set_transfer_function(
+                rasterize(TransferFunctionBumps.from_json(f.read())))
+    else:
+        ctx.set_transfer_function(gray_ramp(alpha_scale=args.tf_alpha))
+
+    if args.envmap:
+        from . import environment as env_mod
+        from .io.image import read_image
+        ctx.set_environment_map(env_mod.from_image(read_image(args.envmap)))
+
+    from .renderers import factory
+    params = _collect_params(args, args.renderer,
+                             factory.get_module(args.renderer).Params)
+    ctx.choose_renderer(args.renderer, params=params)
+    ctx.choose_tone_mapper(args.tonemap,
+                           **({"exposure": args.exposure,
+                               "gamma": args.gamma}
+                              if args.tonemap not in ("artistic", "range")
+                              else {}))
+
+    # camera pose
+    ctx.camera_animator.distance = args.camera_distance
+    ctx.camera_animator.yaw = args.yaw
+    ctx.camera_animator.pitch = args.pitch
+    ctx.camera_animator._update_camera()
+    return ctx
+
+
+def _add_common_args(p):
+    from .renderers import factory
+    from .tonemap import TONE_MAPPERS
+
+    p.add_argument("--volume", required=True,
+                   help="sphere:N | shell:N | blobs:N | file.raw | file.bvp")
+    p.add_argument("--raw-dims", help="W,H,D for raw volumes")
+    p.add_argument("--raw-type", default="uint8",
+                   choices=["uint8", "uint16", "float32"])
+    p.add_argument("--renderer", default="mcm",
+                   choices=sorted(factory.MODULES))
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--spp", type=int, default=32,
+                   help="progressive samples (frames) to accumulate")
+    p.add_argument("--tf", help="transfer-function JSON (widget format)")
+    p.add_argument("--tf-alpha", type=float, default=1.0,
+                   help="alpha scale of the default gray-ramp TF")
+    p.add_argument("--envmap", help="equirectangular environment image")
+    p.add_argument("--tonemap", default="reinhard",
+                   choices=sorted(TONE_MAPPERS))
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=2.2)
+    p.add_argument("--camera-distance", type=float, default=2.0)
+    p.add_argument("--yaw", type=float, default=0.0)
+    p.add_argument("--pitch", type=float, default=0.0)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
+    for key, module in sorted(factory.MODULES.items()):
+        _add_params_args(p, key, module.Params)
+
+
+def cmd_render(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    ctx = _build_context(args)
+    if args.resume:
+        ctx.load_checkpoint(args.resume)
+    t0 = time.perf_counter()
+    ctx.render(frames=args.spp)
+    ctx.get_display_image().block_until_ready()
+    dt = time.perf_counter() - t0
+    ctx.save_image(args.output)
+    if args.checkpoint:
+        ctx.save_checkpoint(args.checkpoint)
+    print(f"rendered {args.spp} spp at {args.resolution}^2 in {dt:.2f}s "
+          f"-> {args.output}")
+    print(ctx.profiler.summary())
+
+
+def cmd_animate(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from .runtime.animators import CircleAnimator
+
+    ctx = _build_context(args)
+    animator = None
+    if args.path == "circle":
+        animator = CircleAnimator(ctx.camera, radius=args.orbit_radius)
+    ctx.record_animation(args.output, frames=args.frames, spp=args.spp,
+                         animator=animator,
+                         progress=lambda p: print(f"\r{p * 100:.0f}%",
+                                                  end="", flush=True))
+    print(f"\nwrote {args.frames} frames to {args.output}")
+
+
+def cmd_fit(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.image import read_image, write_png
+    from .renderers import eam
+    from .scene import CameraState, default_camera
+    from .train import fit
+    from .transfer import gray_ramp
+
+    target = jnp.asarray(read_image(args.target))
+    cam = CameraState.from_nodes(default_camera())
+    mats = (cam.mvp_inverse, cam.model_view, cam.projection)
+    n = args.grid
+    init = jnp.full((n, n, n, 1), 0.1, jnp.float32)
+    tf = gray_ramp(alpha_scale=1.0)
+    params = eam.Params(slices=args.eam_slices or 64, random=False)
+    vol, _, losses = fit(target, mats, init, tf, steps=args.steps,
+                         learning_rate=args.lr, params=params, verbose=True)
+    np.save(args.output, np.asarray(vol))
+    from .train import render_eam
+    pred = render_eam(vol, tf, mats, params, jnp.float32(0.0),
+                      *target.shape[:2])
+    write_png(args.output + ".png", np.asarray(pred))
+    print(f"final loss {losses[-1]:.6f}; volume -> {args.output}.npy")
+
+
+def cmd_serve(args):
+    from .io.server import serve
+
+    serve(args.dir, args.port)
+
+
+def cmd_info(args):
+    from .renderers import factory
+    from .tonemap import TONE_MAPPERS
+
+    print("renderers:")
+    for key, module in sorted(factory.MODULES.items()):
+        fields = ", ".join(
+            f"{f.name}={f.default}" for f in
+            dataclasses.fields(module.Params))
+        print(f"  {key:6s} {fields}")
+    print("tone mappers:", ", ".join(sorted(TONE_MAPPERS)))
+
+
+def main(argv=None):
+    # honor --platform before any module import creates a JAX array (this
+    # environment pins JAX_PLATFORMS at interpreter startup, so the platform
+    # must be overridden through jax.config before first backend use)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--platform" in argv:
+        platform = argv[argv.index("--platform") + 1]
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    parser = argparse.ArgumentParser(prog="vpt_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="progressive render to PNG")
+    _add_common_args(p)
+    p.add_argument("--output", "-o", default="render.png")
+    p.add_argument("--checkpoint", help="save progressive state here")
+    p.add_argument("--resume", help="resume progressive state from here")
+    p.set_defaults(func=cmd_render)
+
+    p = sub.add_parser("animate", help="render an animation sequence")
+    _add_common_args(p)
+    p.add_argument("--output", "-o", default="frames")
+    p.add_argument("--frames", type=int, default=36)
+    p.add_argument("--path", default="orbit", choices=["orbit", "circle"])
+    p.add_argument("--orbit-radius", type=float, default=0.5)
+    p.set_defaults(func=cmd_animate)
+
+    p = sub.add_parser("fit", help="inverse-render a volume from an image")
+    p.add_argument("--target", required=True, help="target image (PNG)")
+    p.add_argument("--grid", type=int, default=32)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--eam-slices", type=int, default=None)
+    p.add_argument("--output", "-o", default="fitted_volume")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(func=cmd_fit)
+
+    p = sub.add_parser("serve", help="range-request static server")
+    p.add_argument("--dir", default=".")
+    p.add_argument("--port", type=int, default=3000)
+    p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("info", help="list renderers and parameters")
+    p.set_defaults(func=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,42 +10,43 @@ float32 arrays.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_RGB2XYZ = jnp.array([
+_RGB2XYZ = np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
     [0.019334, 0.119193, 0.950227],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
-_XYZ2RGB = jnp.array([
+_XYZ2RGB = np.array([
     [3.240481, -1.537152, -0.498536],
     [-0.969255, 1.875990, 0.041556],
     [0.055647, -0.204041, 1.057311],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
-_RGB2YUV_601 = jnp.array([
+_RGB2YUV_601 = np.array([
     [0.29900, 0.58700, 0.11400],
     [-0.14713, -0.28886, 0.43600],
     [0.61500, -0.51499, -0.10001],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
-_YUV2RGB_601 = jnp.array([
+_YUV2RGB_601 = np.array([
     [1.0, 0.0, 1.13983],
     [1.0, -0.39465, -0.58060],
     [1.0, 2.03211, 0.0],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
-_RGB2YUV_709 = jnp.array([
+_RGB2YUV_709 = np.array([
     [0.21260, 0.71520, 0.07220],
     [-0.09991, -0.33609, 0.43600],
     [0.61500, -0.55861, -0.05639],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
-_YUV2RGB_709 = jnp.array([
+_YUV2RGB_709 = np.array([
     [1.0, 0.0, 1.28033],
     [1.0, -0.21482, -0.38059],
     [1.0, 2.12798, 0.0],
-], dtype=jnp.float32)
+], dtype=np.float32)
 
 
 def rgb2xyz(rgb):

@@ -22,6 +22,7 @@ no-ops, mirroring the early ``break``.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -50,9 +51,9 @@ def _occlusion_samples(count: int):
     return pts - jnp.mean(pts, axis=0, keepdims=True)
 
 
-_CORNERS = jnp.array(
+_CORNERS = np.array(
     [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.float32)
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], np.float32)
 
 
 def _depth_range(model_view):

@@ -17,15 +17,17 @@ float(state)/float(~0u) uniforms) to match the reference's output
 
 from __future__ import annotations
 
+import numpy as _np
 import jax.numpy as jnp
 from jax import lax
 
+_np_f32 = _np.float32
 _U32 = jnp.uint32
 _F32 = jnp.float32
 
-TWOPI = jnp.float32(6.28318530718)
+TWOPI = _np_f32(6.28318530718)
 # float(~0u) rounded to float32, matching GLSL's float(4294967295u).
-_INV_MAX = jnp.float32(4294967295.0)
+_INV_MAX = _np_f32(4294967295.0)
 
 
 def u32(x):

@@ -1,0 +1,184 @@
+"""RenderingContext — the engine driver.
+
+Counterpart of the reference's ``src/js/RenderingContext.js``: owns the
+camera node + orbit animator, the volume and its transform, the active
+renderer and tone mapper, and the progressive render loop.  Differences by
+design (SURVEY.md §7): rendering is sample-counted (``render(frames=…)``)
+instead of rAF-tick time-boxed, the "canvas" is an explicit HDR/display
+image you fetch, and progressive state checkpoints to disk.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import environment as envmod
+from .. import tonemap as tonemap_mod
+from ..renderers import base as renderer_base
+from ..renderers import factory
+from ..scene import CameraState, Node, Transform, default_camera
+from ..transfer import TransferFunctionBumps, rasterize
+from ..volume import Volume
+from .animators import OrbitCameraAnimator
+from .profiler import RenderProfiler
+
+
+class RenderingContext:
+    def __init__(self, resolution: int = 512, filter: str = "linear"):
+        self.resolution = resolution
+        self.filter = filter
+
+        self.camera: Node = default_camera()
+        self.camera_animator = OrbitCameraAnimator(self.camera)
+        self.volume_transform = Transform(Node())
+        self.volume: Optional[Volume] = None
+        self.environment = envmod.white()
+        self.transfer_texture = rasterize(TransferFunctionBumps.default())
+
+        self.renderer: Optional[renderer_base.Renderer] = None
+        self.renderer_key: Optional[str] = None
+        self.tone_mapper = tonemap_mod.ToneMapper("artistic")
+        self.profiler = RenderProfiler()
+        self._frame_seed = np.random.default_rng(0)
+        self._scene_dirty = True
+        self._scene: Optional[renderer_base.Scene] = None
+
+        # camera motion resets accumulation (RenderingContext.js:42-46)
+        self.camera.transform.add_change_listener(self._on_view_change)
+        self.volume_transform.add_change_listener(self._on_view_change)
+
+    # -- configuration (setVolume/chooseRenderer/… parity) ----------------
+    def set_volume(self, volume: Volume):
+        self.volume = volume
+        self._scene_dirty = True
+        if self.renderer:
+            self.renderer.state = None
+
+    def set_environment_map(self, env):
+        self.environment = env
+        self._scene_dirty = True
+        if self.renderer:
+            self.renderer.state = None
+
+    def set_transfer_function(self, tf):
+        """Accepts a texture array, bump list, or TransferFunctionBumps."""
+        if isinstance(tf, TransferFunctionBumps):
+            tf = rasterize(tf)
+        elif isinstance(tf, (list, tuple)):
+            tf = rasterize(TransferFunctionBumps.from_list(tf))
+        self.transfer_texture = tf
+        self._scene_dirty = True
+        if self.renderer:
+            self.renderer.state = None
+
+    def set_filter(self, filter: str):
+        self.filter = filter
+        if self.volume is not None:
+            self.volume = Volume(self.volume.data, filter)
+        self._scene_dirty = True
+
+    def set_resolution(self, resolution: int):
+        self.resolution = resolution
+        if self.renderer_key:
+            self.choose_renderer(self.renderer_key,
+                                 params=self.renderer.params)
+
+    def choose_renderer(self, key: str, params=None):
+        self.renderer = factory.make_renderer(
+            key, params=params, height=self.resolution,
+            width=self.resolution)
+        self.renderer_key = key
+
+    def choose_tone_mapper(self, name: str, **params):
+        self.tone_mapper = tonemap_mod.ToneMapper(name, params)
+
+    # -- scene assembly ----------------------------------------------------
+    def _on_view_change(self):
+        self._scene_dirty = True
+        if self.renderer:
+            self.renderer.state = None   # reset accumulation
+
+    def get_scene(self) -> renderer_base.Scene:
+        if self._scene is None or self._scene_dirty:
+            if self.volume is None:
+                raise RuntimeError("no volume set")
+            cam = CameraState.from_nodes(self.camera, self.volume_transform)
+            self._scene = renderer_base.make_scene(
+                self.volume, self.transfer_texture, camera=cam,
+                environment=self.environment)
+            self._scene_dirty = False
+        return self._scene
+
+    # -- render loop (sample-counted) -------------------------------------
+    def render(self, frames: int = 1):
+        """Advance the progressive render by ``frames`` samples."""
+        if self.renderer is None:
+            self.choose_renderer("mcm")
+        scene = self.get_scene()
+        events = self.resolution ** 2
+        for _ in range(frames):
+            seed = float(self._frame_seed.random(dtype=np.float32))
+            with self.profiler.stage("render_frame", events=events):
+                self.renderer.render(scene, seed)
+        return self
+
+    def get_hdr_image(self):
+        return self.renderer.display(self.get_scene())
+
+    def get_display_image(self):
+        """Tone-mapped display image (the canvas blit equivalent)."""
+        return self.tone_mapper(self.get_hdr_image())
+
+    def save_image(self, path):
+        from ..io.image import write_png
+
+        write_png(path, np.asarray(self.get_display_image()))
+
+    # -- checkpoint/resume -------------------------------------------------
+    def save_checkpoint(self, path):
+        from . import checkpoint
+
+        state = self.renderer.state
+        extra = {}
+        if isinstance(state, dict):
+            extra["state_keys"] = sorted(state)
+        checkpoint.save(path, self.renderer_key, state,
+                        self.renderer.frame_number,
+                        params=self.renderer.params, extra=extra)
+
+    def load_checkpoint(self, path):
+        from . import checkpoint
+
+        self.renderer = checkpoint.resume_renderer(
+            path, height=self.resolution, width=self.resolution)
+        self.renderer_key = None  # key restored inside the renderer
+
+    # -- animation rendering (recordAnimation parity, sample-counted) ------
+    def record_animation(self, out_dir, frames: int, spp: int = 16,
+                         animator=None, duration: float = 1.0,
+                         progress=None):
+        """Render an animation as PNG frames: for each frame, advance the
+        camera animator, reset, accumulate ``spp`` samples, write the frame
+        (replaces the time-boxed loop of RenderingContext.js:256-303)."""
+        from pathlib import Path
+
+        from ..io.image import write_png
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        animator = animator or self.camera_animator
+        for i in range(frames):
+            t = duration * i / max(frames - 1, 1)
+            if hasattr(animator, "update"):
+                animator.update(t)
+            else:
+                animator.rotate(1.0 / frames, 0.0)
+            self.renderer.state = None
+            self.render(frames=spp)
+            write_png(out / f"frame_{i:04d}.png",
+                      np.asarray(self.get_display_image()))
+            if progress:
+                progress((i + 1) / frames)
+        return out

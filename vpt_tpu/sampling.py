@@ -20,12 +20,13 @@ transpose to scatter-adds, which is exactly the voxel/TF-texel gradient).
 
 from __future__ import annotations
 
+import numpy as _np
 import jax.numpy as jnp
 
 from . import rng
 
-EPS = jnp.float32(1e-5)
-INVPI = jnp.float32(0.31830988618)
+EPS = _np.float32(1e-5)
+INVPI = _np.float32(0.31830988618)
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,14 @@ def default_camera(translation=(0.0, 0.0, 2.0), fovy: float = 1.0) -> Node:
     return node
 
 
-CENTER_MATRIX = m4.translation(jnp.array([-0.5, -0.5, -0.5]))
+import numpy as _np
+
+CENTER_MATRIX = _np.array([
+    [1, 0, 0, -0.5],
+    [0, 1, 0, -0.5],
+    [0, 0, 1, -0.5],
+    [0, 0, 0, 1],
+], dtype=_np.float32)
 
 
 def model_view_matrix(camera: Node, volume_transform: Optional[Transform]):

@@ -1,0 +1,124 @@
+"""Inverse rendering: fit voxel densities / transfer-function parameters.
+
+The reference is a forward renderer only; differentiability is this
+framework's extension (BASELINE.json north star): every sampler is built from
+gathers and elementwise math whose VJPs are scatter-adds, so image-space
+losses backpropagate to the voxel grid, the TF texture, or the Gaussian-bump
+parameters.  EAM (and the tone mappers) are directly AD-able; the
+Monte-Carlo renderers get expected-value estimators in the pallas layer.
+
+``make_train_step`` builds one jitted SPMD step: forward render → loss →
+grads → optax update.  Under a mesh, pixels shard over ``data`` and the
+volume over ``space``; XLA's partitioner inserts the psum for the gradient
+all-reduce (the overlapped-collective analog of bucketed NCCL all-reduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import transfer as transfer_mod
+from .renderers import eam
+from .renderers.base import Scene
+
+
+def render_eam(volume_data, tf_texture, camera_matrices, params: eam.Params,
+               seed, height: int, width: int):
+    """Differentiable single-frame EAM forward pass."""
+    mvp_inv, model_view, projection = camera_matrices
+    scene = Scene(volume=volume_data, transfer=tf_texture,
+                  environment=jnp.ones((1, 1, 4), jnp.float32),
+                  mvp_inverse=mvp_inv, model_view=model_view,
+                  projection=projection)
+    return eam.generate(scene, params, seed, height, width)
+
+
+@dataclasses.dataclass
+class FitState:
+    volume_data: Any
+    tf_texture: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    params: Optional[eam.Params] = None,
+                    height: int = 256, width: int = 256,
+                    fit_volume: bool = True, fit_tf: bool = False,
+                    loss_fn: Callable = None):
+    """Build ``step(volume, tf, opt_state, camera_matrices, target, seed) ->
+    (loss, volume, tf, opt_state)`` for EAM inverse rendering.
+
+    ``target``: (H, W, 4) reference image(s).  Gradients flow to the voxel
+    grid and/or TF texture per the fit_* flags; the other input passes
+    through untouched (stop-gradient semantics via zero masking).
+    """
+    params = params or eam.Params(random=False)
+
+    if loss_fn is None:
+        def loss_fn(pred, target):
+            return jnp.mean((pred[..., :3] - target[..., :3]) ** 2)
+
+    def compute_loss(fit_leaves, static_leaves, camera_matrices, target,
+                     seed):
+        volume_data = fit_leaves.get("volume", static_leaves.get("volume"))
+        tf_texture = fit_leaves.get("tf", static_leaves.get("tf"))
+        pred = render_eam(volume_data, tf_texture, camera_matrices, params,
+                          seed, height, width)
+        return loss_fn(pred, target)
+
+    def step(volume_data, tf_texture, opt_state, camera_matrices, target,
+             seed):
+        fit_leaves = {}
+        static_leaves = {}
+        (fit_leaves if fit_volume else static_leaves)["volume"] = volume_data
+        (fit_leaves if fit_tf else static_leaves)["tf"] = tf_texture
+
+        loss, grads = jax.value_and_grad(compute_loss)(
+            fit_leaves, static_leaves, camera_matrices, target, seed)
+        updates, opt_state = optimizer.update(grads, opt_state, fit_leaves)
+        new_fit = optax.apply_updates(fit_leaves, updates)
+        new_volume = new_fit.get("volume", volume_data)
+        new_tf = new_fit.get("tf", tf_texture)
+        if fit_volume:
+            new_volume = jnp.clip(new_volume, 0.0, 1.0)
+        return loss, new_volume, new_tf, opt_state
+
+    return step
+
+
+def fit(target, camera_matrices, init_volume, init_tf,
+        steps: int = 100, learning_rate: float = 0.05,
+        params: Optional[eam.Params] = None,
+        fit_volume: bool = True, fit_tf: bool = False,
+        verbose: bool = False):
+    """Convenience driver: Adam-optimize a volume (and/or TF) against a
+    target EAM rendering.  Returns (volume, tf, losses)."""
+    height, width = target.shape[:2]
+    optimizer = optax.adam(learning_rate)
+    step = jax.jit(make_train_step(
+        optimizer, params=params, height=height, width=width,
+        fit_volume=fit_volume, fit_tf=fit_tf))
+
+    fit_leaves = {}
+    if fit_volume:
+        fit_leaves["volume"] = init_volume
+    if fit_tf:
+        fit_leaves["tf"] = init_tf
+    opt_state = optimizer.init(fit_leaves)
+
+    volume_data, tf_texture = init_volume, init_tf
+    losses = []
+    for i in range(steps):
+        loss, volume_data, tf_texture, opt_state = step(
+            volume_data, tf_texture, opt_state, camera_matrices, target,
+            jnp.float32(0.0))
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return volume_data, tf_texture, losses
