@@ -32,16 +32,22 @@ def main():
     state = mcm.reset(params, height, width, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
 
+    def sync(s):
+        # device→host copy forces completion (block_until_ready does not
+        # reliably block on tunneled PJRT backends)
+        import numpy as np
+        return np.asarray(s["samples"][:1, :1])
+
     # warmup / compile
     state = frame_fn(state, scene, params, jnp.float32(0.123), jnp.int32(1))
-    jax.block_until_ready(state)
+    sync(state)
 
     frames = 30
     t0 = time.perf_counter()
     for i in range(frames):
         state = frame_fn(state, scene, params,
                          jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
-    jax.block_until_ready(state)
+    sync(state)
     dt = time.perf_counter() - t0
 
     events_per_s = height * width * steps * frames / dt

@@ -171,3 +171,42 @@ def test_sample_volume_is_differentiable():
     assert g.shape == v.shape
     assert float(jnp.sum(g)) > 0.0  # interpolation weights sum to 1
     assert np.isclose(float(jnp.sum(g)), 1.0, atol=1e-5)
+
+
+def test_packed_volume_matches_slow_path():
+    v = vol.blobs_volume(16, seed=2).data
+    packed = sampling.pack_corner_volume(v)
+    rng_np = np.random.default_rng(0)
+    # positions spanning inside, edges, and out-of-range
+    p = jnp.asarray(rng_np.uniform(-0.3, 1.3, (5000, 3)).astype(np.float32))
+    slow = np.asarray(sampling.sample_volume(v, p))
+    fast = np.asarray(sampling.sample_volume_packed(packed, v.shape, p))
+    assert np.allclose(slow, fast, atol=1e-6)
+
+
+def test_packed_texture_matches_slow_path():
+    from vpt_tpu import transfer
+    t = transfer.rasterize(transfer.TransferFunctionBumps.default(), 32, 32)
+    packed = sampling.pack_corner_texture2d(t)
+    rng_np = np.random.default_rng(1)
+    uv = jnp.asarray(rng_np.uniform(-0.2, 1.2, (3000, 2)).astype(np.float32))
+    slow = np.asarray(sampling.sample_texture2d(t, uv))
+    fast = np.asarray(sampling.sample_texture2d_packed(packed, t.shape, uv))
+    assert np.allclose(slow, fast, atol=1e-6)
+
+
+def test_scene_fast_path_matches_unpacked_render():
+    """A packed scene must render bit-identically to an unpacked one."""
+    from vpt_tpu import transfer
+    from vpt_tpu.renderers import make_scene, mcm
+    v = vol.sphere_volume(16)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    sc_fast = make_scene(v, tf, pack=True)
+    sc_slow = make_scene(v, tf, pack=False)
+    params = mcm.Params(extinction=30.0, steps=8)
+    s0f = mcm.reset(params, 16, 16, sc_fast)
+    s0s = mcm.reset(params, 16, 16, sc_slow)
+    f = mcm.render_frame(s0f, sc_fast, params, jnp.float32(0.4), jnp.int32(1))
+    s = mcm.render_frame(s0s, sc_slow, params, jnp.float32(0.4), jnp.int32(1))
+    for k in f:
+        assert np.array_equal(np.asarray(f[k]), np.asarray(s[k])), k

@@ -30,6 +30,9 @@ def sharded_scene(scene: Scene, mesh: Mesh,
     replicated), everything else replicated."""
     rep = NamedSharding(mesh, P())
     vol_sh = volume_sharding(mesh) if shard_volume else rep
+    packed_sh = NamedSharding(mesh, P(("space" if shard_volume else None),
+                                      None)) \
+        if scene.volume_packed is not None else None
     return Scene(
         volume=jax.device_put(scene.volume, vol_sh),
         transfer=jax.device_put(scene.transfer, rep),
@@ -37,6 +40,10 @@ def sharded_scene(scene: Scene, mesh: Mesh,
         mvp_inverse=jax.device_put(scene.mvp_inverse, rep),
         model_view=jax.device_put(scene.model_view, rep),
         projection=jax.device_put(scene.projection, rep),
+        volume_packed=(jax.device_put(scene.volume_packed, packed_sh)
+                       if scene.volume_packed is not None else None),
+        transfer_packed=(jax.device_put(scene.transfer_packed, rep)
+                         if scene.transfer_packed is not None else None),
     )
 
 

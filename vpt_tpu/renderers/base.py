@@ -64,7 +64,13 @@ def params_dataclass(cls):
 @dataclasses.dataclass
 class Scene:
     """Everything a renderer samples: the volume texture, the 2D transfer
-    function, the environment map, and the camera matrices."""
+    function, the environment map, and the camera matrices.
+
+    ``volume_packed`` / ``transfer_packed`` are optional corner-packed copies
+    (see sampling.pack_corner_volume): when present, the sample methods use
+    the one-gather-per-event fast path — bit-identical results, ~6× fewer
+    TPU gathers.  The slow path stays as the differentiable/test oracle.
+    """
 
     volume: jnp.ndarray               # (D, H, W, C) float32
     transfer: jnp.ndarray             # (TH, TW, 4) float32
@@ -72,20 +78,90 @@ class Scene:
     mvp_inverse: jnp.ndarray          # (4, 4) inverse of P·V·M·center
     model_view: jnp.ndarray           # (4, 4) V·M·center (DOS/ISO extras)
     projection: jnp.ndarray           # (4, 4)
+    volume_packed: Any = None         # (D·H·W, 8·C) or None
+    transfer_packed: Any = None       # (TH·TW, 16) or None
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
-                self.mvp_inverse, self.model_view, self.projection), None
+                self.mvp_inverse, self.model_view, self.projection,
+                self.volume_packed, self.transfer_packed), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    # -- samplers (the GLSL sampleVolumeColor / sampleEnvironmentMap) ------
+    def sample_volume_rg(self, position):
+        """texture(uVolume, p).rg — trilinear (value, grad-mag) pair."""
+        from .. import sampling
+
+        if self.volume_packed is not None:
+            s = sampling.sample_volume_packed(
+                self.volume_packed, self.volume.shape, position)
+            if s.shape[-1] >= 2:
+                return s[..., :2]
+            return jnp.concatenate([s, jnp.zeros_like(s)], axis=-1)
+        return sampling.volume_rg(self.volume, position)
+
+    def sample_value(self, position):
+        """Raw channel-0 trilinear fetch (LAO's sampleVolume)."""
+        from .. import sampling
+
+        if self.volume_packed is not None:
+            return sampling.sample_volume_packed(
+                self.volume_packed, self.volume.shape, position)[..., 0]
+        return sampling.sample_volume(self.volume, position)[..., 0]
+
+    def sample_transfer(self, uv):
+        from .. import sampling
+
+        if self.transfer_packed is not None:
+            return sampling.sample_texture2d_packed(
+                self.transfer_packed, self.transfer.shape, uv)
+        return sampling.sample_texture2d(self.transfer, uv)
+
+    def sample_color(self, position):
+        """The shared composite sampler TF(volume(p).rg)
+        (MCMRenderer.glsl:85-89 et al.)."""
+        return self.sample_transfer(self.sample_volume_rg(position))
+
+    def sample_env(self, direction):
+        """Equirect env lookup; 1×1 environments (the reference default)
+        skip the gather entirely."""
+        from .. import sampling
+
+        eh, ew = self.environment.shape[:2]
+        if eh == 1 and ew == 1:
+            texel = self.environment[0, 0]
+            return jnp.broadcast_to(texel, direction.shape[:-1] + (4,))
+        return sampling.sample_environment(self.environment, direction)
+
+    def value_gradient(self, position, h):
+        """Central-difference gradient of TF alpha (ISORenderer.glsl:165-177)."""
+        offs = jnp.eye(3, dtype=jnp.float32) * h
+        grads = [self.sample_color(position + offs[i])[..., 3]
+                 - self.sample_color(position - offs[i])[..., 3]
+                 for i in range(3)]
+        return jnp.stack(grads, axis=-1) / (2.0 * h)
+
+    def raw_gradient(self, position, voxel_size):
+        """LAO's negated central difference (LAORenderer.glsl:73-80)."""
+        offs = jnp.eye(3, dtype=jnp.float32) * jnp.float32(voxel_size)
+        grads = [self.sample_value(position - offs[i])
+                 - self.sample_value(position + offs[i])
+                 for i in range(3)]
+        return jnp.stack(grads, axis=-1)
+
 
 def make_scene(volume, transfer, camera: Optional[Any] = None,
-               environment=None, volume_transform=None) -> Scene:
+               environment=None, volume_transform=None,
+               pack: Optional[bool] = None) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
-    ``camera`` a scene-graph Node, a CameraState, or None (default camera)."""
+    ``camera`` a scene-graph Node, a CameraState, or None (default camera).
+
+    ``pack``: precompute corner-packed fast-sampling tables (default: yes
+    for volumes up to 256³; the packed copy is 8× the volume)."""
+    from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
 
@@ -97,13 +173,21 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         camera = CameraState.from_nodes(camera, volume_transform)
     if environment is None:
         environment = envmod.white()
+    volume = jnp.asarray(volume, jnp.float32)
+    transfer = jnp.asarray(transfer, jnp.float32)
+    if pack is None:
+        pack = volume.shape[0] * volume.shape[1] * volume.shape[2] \
+            <= 256 ** 3
     return Scene(
-        volume=jnp.asarray(volume, jnp.float32),
-        transfer=jnp.asarray(transfer, jnp.float32),
+        volume=volume,
+        transfer=transfer,
         environment=jnp.asarray(environment, jnp.float32),
         mvp_inverse=camera.mvp_inverse,
         model_view=camera.model_view,
         projection=camera.projection,
+        volume_packed=sampling.pack_corner_volume(volume) if pack else None,
+        transfer_packed=sampling.pack_corner_texture2d(transfer)
+        if pack else None,
     )
 
 

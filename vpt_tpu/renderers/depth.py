@@ -53,8 +53,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         t, acc = carry
         active = (t < 1.0) & (acc < params.threshold)
         position = start + t[..., None] * (end - start)
-        alpha = sampling.sample_volume_color(
-            scene.volume, scene.transfer, position)[..., 3]
+        alpha = scene.sample_color(position)[..., 3]
         new_acc = acc + (1.0 - acc) * alpha * ray_step_length * params.extinction
         acc = jnp.where(active, new_acc, acc)
         t = jnp.where(active, t + step_size, t)

@@ -104,8 +104,7 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
         pos3d = pos3d[..., :3] / pos3d[..., 3:4]
 
         outside = jnp.any((pos3d > 1.0) | (pos3d < 0.0), axis=-1)
-        ts = sampling.sample_volume_color(scene.volume, scene.transfer,
-                                          pos3d)
+        ts = scene.sample_color(pos3d)
         extinction = ts[..., 3] * params.extinction
         alpha = 1.0 - jnp.exp(-extinction * slice_distance)
         contrib = ts[..., :3] * occlusion[..., None] * alpha[..., None]

@@ -61,8 +61,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         t = t0 + i.astype(jnp.float32) * step_size
         active = (t < 1.0) & (acc[..., 3] < 0.99)
         position = start + t * (end - start)
-        color = sampling.sample_volume_color(scene.volume, scene.transfer,
-                                             position)
+        color = scene.sample_color(position)
         alpha = color[..., 3] * ray_step_length * params.extinction
         premult = jnp.concatenate(
             [color[..., :3] * alpha[..., None], alpha[..., None]], axis=-1)

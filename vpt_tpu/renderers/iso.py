@@ -51,8 +51,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         # write wins, which is the nearest hit
         t = 1.0 - offset * step_size - i.astype(jnp.float32) * step_size
         position = start + t * (end - start)
-        value = sampling.sample_volume_color(
-            scene.volume, scene.transfer, position)[..., 3]
+        value = scene.sample_color(position)[..., 3]
         hit = value >= params.isovalue
         candidate = jnp.concatenate(
             [position, jnp.broadcast_to(t, position.shape[:-1])[..., None]],
@@ -80,8 +79,7 @@ def display(state, scene: Scene, params: Params):
     pos = state[..., :3]
     hit = state[..., 3] > 0.0
 
-    grad = sampling.value_gradient(scene.volume, scene.transfer, pos,
-                                   params.gradient_step)
+    grad = scene.value_gradient(pos, params.gradient_step)
     normal = grad / jnp.sqrt(
         jnp.maximum(jnp.sum(grad * grad, axis=-1, keepdims=True), 1e-12))
 
@@ -92,8 +90,7 @@ def display(state, scene: Scene, params: Params):
     light = light / jnp.sqrt(jnp.maximum(jnp.sum(light * light), 1e-12))
 
     lambert = jnp.maximum(jnp.sum(normal * light, axis=-1), 0.0)
-    material = sampling.sample_volume_color(
-        scene.volume, scene.transfer, pos)[..., :3]
+    material = scene.sample_color(pos)[..., :3]
     shaded = material * lambert[..., None]
     rgb = jnp.where(hit[..., None], shaded, 1.0)
     return jnp.concatenate(

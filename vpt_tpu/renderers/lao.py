@@ -79,7 +79,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     t0 = jnp.clip(rx * step_size * 1.5, 0.0, 1.0)
 
     def value_at(p):
-        return sampling.sample_volume(scene.volume, p)[..., 0]
+        return scene.sample_value(p)
 
     def march(carry, i):
         acc = carry
@@ -88,7 +88,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         active = (t < 1.0) & (acc[..., 3] <= 0.9)
         position = start + t[..., None] * (end - start)
 
-        grad = sampling.raw_gradient(scene.volume, position, _VOXEL_SIZE)
+        grad = scene.raw_gradient(position, _VOXEL_SIZE)
         grad_mag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
         value = value_at(position)
 
@@ -129,8 +129,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
             # mix(1 - 0, contrib, 1.2) then /1.3, clamp (:166-170)
             soft = jnp.clip((-0.2 + 1.2 * contrib) / 1.3, 0.0, 1.0)
 
-        color = sampling.sample_texture2d(
-            scene.transfer, jnp.stack([value, grad_mag], axis=-1))
+        color = scene.sample_transfer(jnp.stack([value, grad_mag], axis=-1))
         tint_lao = jnp.array([0.15, 0.18, 0.32, 1.0], jnp.float32)
         tint_shadow = jnp.array([0.15, 0.18, 0.22, 1.0], jnp.float32)
         w1 = (lao * params.lao_weight)[..., None]

@@ -91,8 +91,7 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
         rstate, dist = rng.exponential(rstate, params.extinction)
         position = ph["position"] + dist[..., None] * ph["direction"]
 
-        vs = sampling.sample_volume_color(scene.volume, scene.transfer,
-                                          position)
+        vs = scene.sample_color(position)
         alpha = vs[..., 3]
         p_null = 1.0 - alpha
         capped = ph["bounces"] >= params.max_bounces
@@ -107,7 +106,7 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
 
         # radiance deposit: env radiance on escape, black on absorption,
         # Welford-style running mean (glsl:147-157)
-        env = sampling.sample_environment(scene.environment, ph["direction"])
+        env = scene.sample_env(ph["direction"])
         r_new = jnp.where(oob[..., None],
                           ph["transmittance"] * env[..., :3], 0.0)
         samples = jnp.where(deposit, ph["samples"] + 1.0, ph["samples"])

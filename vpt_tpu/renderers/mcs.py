@@ -52,8 +52,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     max_distance = jnp.sqrt(jnp.sum((end - start) ** 2, axis=-1))
 
     def alpha_at(pos):
-        return sampling.sample_volume_color(scene.volume, scene.transfer,
-                                            pos)[..., 3]
+        return scene.sample_color(pos)[..., 3]
 
     def sample_distance(state, seg_from, seg_to, max_dist):
         """sampleDistance (glsl:70-87): lanes exceeding max_dist consume 1
@@ -122,14 +121,13 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     sto = spoint + scatter_dir * tb2[..., 1:2]
     sdist = jnp.sqrt(jnp.sum((sto - spoint) ** 2, axis=-1))
 
-    diffuse = sampling.sample_volume_color(scene.volume, scene.transfer,
-                                           spoint)
-    light = sampling.sample_environment(scene.environment, scatter_dir)
+    diffuse = scene.sample_color(spoint)
+    light = scene.sample_env(scatter_dir)
     state, trans = sample_transmittance(state, spoint, sto,
                                         jnp.maximum(sdist, 1e-20))
 
     scatter_color = diffuse * light * trans[..., None]
-    env_color = sampling.sample_environment(scene.environment, dir_unit)
+    env_color = scene.sample_env(dir_unit)
     return jnp.where((miss | escaped)[..., None], env_color, scatter_color)
 
 

@@ -42,8 +42,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     def step(val, i):
         offset = jnp.mod(offset0 + i.astype(jnp.float32) * step_size, 1.0)
         position = start + offset * (end - start)
-        alpha = sampling.sample_volume_color(
-            scene.volume, scene.transfer, position)[..., 3]
+        alpha = scene.sample_color(position)[..., 3]
         return jnp.maximum(val, alpha), None
 
     val0 = jnp.zeros((height, width), jnp.float32)
