@@ -1,0 +1,109 @@
+"""Halo-sharded volume rendering must match the replicated render exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vpt_tpu import transfer, volume
+from vpt_tpu.parallel import make_mesh
+from vpt_tpu.parallel.halo import (
+    HaloScene, shard_volume_with_halo, sharded_render_frame,
+)
+from vpt_tpu.parallel.shard import place_state
+from vpt_tpu.renderers import eam, make_scene, mcm
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(volume.blobs_volume(16, seed=5),
+                      transfer.gray_ramp(alpha_scale=1.0), pack=False)
+
+
+def test_shard_volume_with_halo_layout(scene):
+    slabs = shard_volume_with_halo(scene.volume, 4)
+    assert slabs.shape == (4, 5, 16, 16, 1)
+    v = np.asarray(scene.volume)
+    s = np.asarray(slabs)
+    for k in range(4):
+        assert np.array_equal(s[k, :4], v[4 * k:4 * k + 4])
+    # halo plane = next slab's first plane; last slab replicates its edge
+    assert np.array_equal(s[0, 4], v[4])
+    assert np.array_equal(s[3, 4], v[15])
+
+
+def test_halo_eam_matches_replicated(scene):
+    mesh = make_mesh(8, space=2)
+    params = eam.Params(slices=16, random=False)
+    h = w = 16
+
+    ref = np.asarray(jax.jit(eam.generate, static_argnums=(3, 4))(
+        scene, params, jnp.float32(0.0), h, w))
+
+    state = place_state(eam.reset(params, h, w), mesh)
+    frame_fn, slabs = sharded_render_frame(eam, mesh, scene, 2, state)
+    out = frame_fn(state, slabs, params, jnp.float32(0.0), jnp.int32(1))
+    assert np.array_equal(np.asarray(out), ref)  # frame 1 == generate
+
+
+def test_halo_mcm_matches_replicated(scene):
+    mesh = make_mesh(8, space=4)
+    params = mcm.Params(extinction=25.0, steps=8)
+    h = w = 16
+
+    s0 = mcm.reset(params, h, w, scene)
+    ref = mcm.render_frame(s0, scene, params, jnp.float32(0.7), jnp.int32(1))
+
+    state = place_state(mcm.reset(params, h, w, scene), mesh)
+    frame_fn, slabs = sharded_render_frame(mcm, mesh, scene, 4, state)
+    out = frame_fn(state, slabs, params, jnp.float32(0.7), jnp.int32(1))
+    for k in ref:
+        if k == "position":
+            # 1-ulp fp reassociation under the shard_map partitioner
+            assert np.allclose(np.asarray(ref[k]), np.asarray(out[k]),
+                               atol=2e-7), k
+        else:
+            assert np.array_equal(np.asarray(ref[k]), np.asarray(out[k])), k
+
+
+def test_halo_scene_sampler_matches_dense(scene):
+    """Single-process check of the ownership-masked trilinear math itself
+    (no mesh): emulate the psum by summing each slab's contribution."""
+    from vpt_tpu import sampling
+
+    num_slabs = 4
+    slabs = shard_volume_with_halo(scene.volume, num_slabs)
+    rng_np = np.random.default_rng(0)
+    p = jnp.asarray(rng_np.uniform(-0.1, 1.1, (2000, 3)).astype(np.float32))
+
+    total = jnp.zeros((2000, 1), jnp.float32)
+    for k in range(num_slabs):
+        hs = HaloScene.__new__(HaloScene)
+        hs.slab = slabs[k]
+        hs.slab_index = jnp.int32(k)
+        hs.num_slabs = num_slabs
+        hs.volume_shape = scene.volume.shape
+        hs.axis = None
+
+        # monkeypatch psum away for the single-process check
+        d, h, w, c = hs.volume_shape
+        ds = d // num_slabs
+        dims = jnp.array([w, h, d], jnp.float32)
+        u = jnp.clip(p * dims - 0.5, 0.0, dims - 1.0)
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
+                      jnp.array([w - 1, h - 1, d - 1], jnp.int32))
+        owner = jnp.clip(i0[..., 2] // ds, 0, num_slabs - 1)
+        import vpt_tpu.parallel.halo as halo_mod
+        orig = halo_mod.lax.psum
+        halo_mod.lax.psum = lambda x, axis: x
+        try:
+            contrib = hs._sample(p)
+        finally:
+            halo_mod.lax.psum = orig
+        total = total + contrib
+
+    dense = sampling.sample_volume(scene.volume, p)
+    assert np.allclose(np.asarray(total), np.asarray(dense), atol=1e-6)
