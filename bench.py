@@ -26,7 +26,9 @@ def main():
     steps = 8
     vol = volume.sphere_volume(128)
     tf = transfer.gray_ramp(alpha_scale=0.8)
-    scene = make_scene(vol, tf)
+    # bf16 corner tables: ~4x faster gathers; 8-bit-mantissa table precision,
+    # comparable to the reference's R8/SRGB8 GL texture formats
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16)
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
 
     state = mcm.reset(params, height, width, scene)

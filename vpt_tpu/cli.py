@@ -82,7 +82,8 @@ def _build_context(args):
     from .runtime import RenderingContext
     from .transfer import TransferFunctionBumps, gray_ramp, rasterize
 
-    ctx = RenderingContext(resolution=args.resolution)
+    ctx = RenderingContext(resolution=args.resolution,
+                           precision=args.precision)
     ctx.set_volume(_load_volume(args))
 
     if args.tf:
@@ -142,6 +143,9 @@ def _add_common_args(p):
     p.add_argument("--pitch", type=float, default=0.0)
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--precision", default="fast",
+                   choices=["fast", "exact"],
+                   help="fast: bf16 sampling tables (~4x); exact: float32")
     for key, module in sorted(factory.MODULES.items()):
         _add_params_args(p, key, module.Params)
 

@@ -106,3 +106,30 @@ def rgba_to_float(rgba):
     """Inverse of :func:`float_to_rgba` (mixins/rgbaToFloat.glsl)."""
     decoder = 1.0 / jnp.array([1.0, 255.0, 255.0 ** 2, 255.0 ** 3], jnp.float32)
     return jnp.sum(rgba * decoder, axis=-1)
+
+
+def encode_float(x):
+    """Pack an arbitrary float32 into 4 × 8-bit channels as its IEEE-754
+    bytes, little-endian, each scaled to [0, 1] (mixins/encodeFloat.glsl —
+    the reference reconstructs sign/exponent/mantissa arithmetically; here
+    the equivalent exact bit pattern comes from a bitcast)."""
+    import jax.lax as lax
+
+    bits = lax.bitcast_convert_type(jnp.asarray(x, jnp.float32), jnp.uint32)
+    bytes_ = jnp.stack([
+        (bits >> jnp.uint32(0)) & jnp.uint32(0xFF),
+        (bits >> jnp.uint32(8)) & jnp.uint32(0xFF),
+        (bits >> jnp.uint32(16)) & jnp.uint32(0xFF),
+        (bits >> jnp.uint32(24)) & jnp.uint32(0xFF),
+    ], axis=-1)
+    return bytes_.astype(jnp.float32) / 255.0
+
+
+def decode_float(rgba):
+    """Inverse of :func:`encode_float`."""
+    import jax.lax as lax
+
+    b = (jnp.asarray(rgba, jnp.float32) * 255.0 + 0.5).astype(jnp.uint32)
+    bits = (b[..., 0] | (b[..., 1] << jnp.uint32(8))
+            | (b[..., 2] << jnp.uint32(16)) | (b[..., 3] << jnp.uint32(24)))
+    return lax.bitcast_convert_type(bits, jnp.float32)

@@ -155,12 +155,16 @@ class Scene:
 
 def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
-               pack: Optional[bool] = None) -> Scene:
+               pack: Optional[bool] = None, pack_dtype=None) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
     ``pack``: precompute corner-packed fast-sampling tables (default: yes
-    for volumes up to 256³; the packed copy is 8× the volume)."""
+    for volumes up to 256³; the packed copy is 8× the volume).
+    ``pack_dtype``: dtype of the packed tables.  float32 (default) matches
+    the unpacked oracle bit-for-bit; bfloat16 renders ~4× faster on TPU
+    with 8-bit-mantissa table precision — comparable to the reference's own
+    R8/SRGB8 GL texture formats."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -178,6 +182,13 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     if pack is None:
         pack = volume.shape[0] * volume.shape[1] * volume.shape[2] \
             <= 256 ** 3
+    volume_packed = transfer_packed = None
+    if pack:
+        volume_packed = sampling.pack_corner_volume(volume)
+        transfer_packed = sampling.pack_corner_texture2d(transfer)
+        if pack_dtype is not None:
+            volume_packed = volume_packed.astype(pack_dtype)
+            transfer_packed = transfer_packed.astype(pack_dtype)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -185,9 +196,8 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         mvp_inverse=camera.mvp_inverse,
         model_view=camera.model_view,
         projection=camera.projection,
-        volume_packed=sampling.pack_corner_volume(volume) if pack else None,
-        transfer_packed=sampling.pack_corner_texture2d(transfer)
-        if pack else None,
+        volume_packed=volume_packed,
+        transfer_packed=transfer_packed,
     )
 
 

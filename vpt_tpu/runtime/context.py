@@ -26,9 +26,13 @@ from .profiler import RenderProfiler
 
 
 class RenderingContext:
-    def __init__(self, resolution: int = 512, filter: str = "linear"):
+    def __init__(self, resolution: int = 512, filter: str = "linear",
+                 precision: str = "fast"):
         self.resolution = resolution
         self.filter = filter
+        # 'fast' packs bf16 sampling tables (~4x faster, 8-bit-mantissa
+        # tables ~ the reference's R8/SRGB8 textures); 'exact' keeps float32
+        self.precision = precision
 
         self.camera: Node = default_camera()
         self.camera_animator = OrbitCameraAnimator(self.camera)
@@ -104,10 +108,13 @@ class RenderingContext:
         if self._scene is None or self._scene_dirty:
             if self.volume is None:
                 raise RuntimeError("no volume set")
+            import jax.numpy as jnp
             cam = CameraState.from_nodes(self.camera, self.volume_transform)
             self._scene = renderer_base.make_scene(
                 self.volume, self.transfer_texture, camera=cam,
-                environment=self.environment)
+                environment=self.environment,
+                pack_dtype=(jnp.bfloat16 if self.precision == "fast"
+                            else None))
             self._scene_dirty = False
         return self._scene
 

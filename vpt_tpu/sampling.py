@@ -222,7 +222,7 @@ def sample_volume_packed(packed, shape, position):
                   jnp.array([w - 1, h - 1, d - 1], jnp.int32))
     rows = jnp.take(packed, (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0],
                     axis=0)
-    rows = rows.reshape(rows.shape[:-1] + (8, c))
+    rows = rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor
     cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
@@ -252,7 +252,7 @@ def sample_texture2d_packed(packed, shape, uv):
     i0 = jnp.clip(i0.astype(jnp.int32), 0,
                   jnp.array([w - 1, h - 1], jnp.int32))
     rows = jnp.take(packed, i0[..., 1] * w + i0[..., 0], axis=0)
-    rows = rows.reshape(rows.shape[:-1] + (4, c))
+    rows = rows.astype(jnp.float32).reshape(rows.shape[:-1] + (4, c))
     fx, fy = f[..., 0:1], f[..., 1:2]
     cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
         + rows[..., 1::2, :] * fx[..., None]          # (..., 2, C)
