@@ -114,3 +114,29 @@ def test_profiler_counts():
     stats = ctx.profiler.stages["render_frame"]
     assert stats.calls == 2
     assert ctx.profiler.events == 2 * 32 * 32
+
+
+def test_viewer_server_endpoints():
+    from vpt_tpu.runtime.viewer import ViewerServer
+    import urllib.request
+
+    ctx = make_ctx("mip", resolution=24)
+    server = ViewerServer(ctx, port=0)
+    port = server.serve_background()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        info = urllib.request.urlopen(f"{base}/info").read()
+        assert b"renderers" in info
+        page = urllib.request.urlopen(f"{base}/").read()
+        assert b"vpt_tpu viewer" in page
+        png = urllib.request.urlopen(
+            f"{base}/frame?yaw=0.3&pitch=0.2&spp=1&renderer=mip"
+            f"&tonemap=reinhard&reset=1").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # progressive continuation accumulates
+        png2 = urllib.request.urlopen(
+            f"{base}/frame?yaw=0.3&pitch=0.2&spp=1&renderer=mip"
+            f"&tonemap=reinhard&reset=0").read()
+        assert png2[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        server.shutdown()

@@ -222,6 +222,16 @@ def cmd_serve(args):
     serve(args.dir, args.port)
 
 
+def cmd_view(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from .runtime.viewer import ViewerServer
+
+    ctx = _build_context(args)
+    ViewerServer(ctx, port=args.port).serve_forever()
+
+
 def cmd_info(args):
     from .renderers import factory
     from .tonemap import TONE_MAPPERS
@@ -272,6 +282,11 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="fitted_volume")
     p.add_argument("--platform", default=None)
     p.set_defaults(func=cmd_fit)
+
+    p = sub.add_parser("view", help="interactive browser viewer")
+    _add_common_args(p)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(func=cmd_view)
 
     p = sub.add_parser("serve", help="range-request static server")
     p.add_argument("--dir", default=".")
