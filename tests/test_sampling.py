@@ -196,7 +196,10 @@ def test_packed_texture_matches_slow_path():
 
 
 def test_scene_fast_path_matches_unpacked_render():
-    """A packed scene must render bit-identically to an unpacked one."""
+    """A packed scene must render the same as an unpacked one: discrete
+    outcomes (samples, bounces) exactly, float state to float32 rounding
+    (XLA fuses the two lerp pipelines differently — fma vs mul+add — so
+    1-ulp differences are expected)."""
     from vpt_tpu import transfer
     from vpt_tpu.renderers import make_scene, mcm
     v = vol.sphere_volume(16)
@@ -208,5 +211,8 @@ def test_scene_fast_path_matches_unpacked_render():
     s0s = mcm.reset(params, 16, 16, sc_slow)
     f = mcm.render_frame(s0f, sc_fast, params, jnp.float32(0.4), jnp.int32(1))
     s = mcm.render_frame(s0s, sc_slow, params, jnp.float32(0.4), jnp.int32(1))
-    for k in f:
+    for k in ("samples", "bounces"):
         assert np.array_equal(np.asarray(f[k]), np.asarray(s[k])), k
+    for k in ("position", "direction", "transmittance", "radiance"):
+        assert np.allclose(np.asarray(f[k]), np.asarray(s[k]),
+                           atol=1e-6), k

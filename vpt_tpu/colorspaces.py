@@ -9,6 +9,7 @@ float32 arrays.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,11 +51,11 @@ _YUV2RGB_709 = np.array([
 
 
 def rgb2xyz(rgb):
-    return rgb @ _RGB2XYZ.T
+    return jnp.matmul(rgb, _RGB2XYZ.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def xyz2rgb(xyz):
-    return xyz @ _XYZ2RGB.T
+    return jnp.matmul(xyz, _XYZ2RGB.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def xyz2xyY(xyz):
@@ -70,12 +71,12 @@ def xyY2xyz(xyY):
 
 def rgb2yuv(rgb, standard="bt601"):
     m = _RGB2YUV_601 if standard == "bt601" else _RGB2YUV_709
-    return rgb @ m.T
+    return jnp.matmul(rgb, m.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def yuv2rgb(yuv, standard="bt601"):
     m = _YUV2RGB_601 if standard == "bt601" else _YUV2RGB_709
-    return yuv @ m.T
+    return jnp.matmul(yuv, m.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def smoothstep(edge0, edge1, x):

@@ -134,8 +134,25 @@ def compose_trs(rotation_quat, translation_vec, scale_vec):
     return m.at[:3, 3].set(jnp.asarray(translation_vec, jnp.float32))
 
 
+def matmul(a, b):
+    """Small-matrix product at full float32 precision (TPU matmuls default
+    to bf16 inputs, which corrupts near/far-plane terms in camera math)."""
+    import jax
+
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def invert(m):
-    return jnp.linalg.inv(m).astype(jnp.float32)
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.inv(m).astype(jnp.float32)
+
+
+def _apply(m, v4):
+    """``v4 @ m.T`` as exact elementwise float32 (no MXU)."""
+    return (v4[..., 0:1] * m[:, 0] + v4[..., 1:2] * m[:, 1]
+            + v4[..., 2:3] * m[:, 2] + v4[..., 3:4] * m[:, 3])
 
 
 def transform_point(m, p):
@@ -145,13 +162,13 @@ def transform_point(m, p):
     """
     p = jnp.asarray(p, jnp.float32)
     ph = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), jnp.float32)], axis=-1)
-    out = ph @ m.T
+    out = _apply(m, ph)
     return out[..., :3] / out[..., 3:4]
 
 
 def transform_homogeneous(m, p4):
     """Apply a mat4 to a homogeneous 4-vector; supports batch (..., 4)."""
-    return jnp.asarray(p4, jnp.float32) @ m.T
+    return _apply(m, jnp.asarray(p4, jnp.float32))
 
 
 def look_at(eye, center, up):

@@ -44,6 +44,8 @@ def sharded_scene(scene: Scene, mesh: Mesh,
                        if scene.volume_packed is not None else None),
         transfer_packed=(jax.device_put(scene.transfer_packed, rep)
                          if scene.transfer_packed is not None else None),
+        transfer_banks=(jax.device_put(scene.transfer_banks, rep)
+                        if scene.transfer_banks is not None else None),
     )
 
 

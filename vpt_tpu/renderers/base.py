@@ -80,11 +80,13 @@ class Scene:
     projection: jnp.ndarray           # (4, 4)
     volume_packed: Any = None         # (D·H·W, 8·C) or None
     transfer_packed: Any = None       # (TH·TW, 16) or None
+    transfer_banks: Any = None        # (n_banks·4, 128) lane-shuffle table
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
                 self.mvp_inverse, self.model_view, self.projection,
-                self.volume_packed, self.transfer_packed), None
+                self.volume_packed, self.transfer_packed,
+                self.transfer_banks), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -122,7 +124,24 @@ class Scene:
 
     def sample_color(self, position):
         """The shared composite sampler TF(volume(p).rg)
-        (MCMRenderer.glsl:85-89 et al.)."""
+        (MCMRenderer.glsl:85-89 et al.).
+
+        Single-channel volumes sample the TF's y = 0 row, a 1D table —
+        when the lane-shuffle bank table is present (TPU), the lookup runs
+        as a register-resident Pallas kernel (pallas/tf1d.py) instead of an
+        HBM gather; results match the bilinear path exactly."""
+        if (self.transfer_banks is not None
+                and self.volume.shape[-1] == 1
+                and position.ndim == 3):
+            h, w = position.shape[:2]
+            if (h * w) % 128 == 0:
+                from ..pallas import tf1d
+
+                value = self.sample_volume_rg(position)[..., 0]
+                return tf1d.lookup_1d(self.transfer_banks, value,
+                                      self.transfer.shape[1],
+                                      interpret=jax.default_backend()
+                                      == "cpu")
         return self.sample_transfer(self.sample_volume_rg(position))
 
     def sample_env(self, direction):
@@ -155,7 +174,8 @@ class Scene:
 
 def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
-               pack: Optional[bool] = None, pack_dtype=None) -> Scene:
+               pack: Optional[bool] = None, pack_dtype=None,
+               tf_banks: bool = False) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -164,7 +184,12 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     ``pack_dtype``: dtype of the packed tables.  float32 (default) matches
     the unpacked oracle bit-for-bit; bfloat16 renders ~4× faster on TPU
     with 8-bit-mantissa table precision — comparable to the reference's own
-    R8/SRGB8 GL texture formats."""
+    R8/SRGB8 GL texture formats.
+    ``tf_banks``: additionally build the lane-shuffle TF table so
+    single-channel sample_color runs the Pallas tf1d kernel.  The kernel is
+    ~14× faster than the gather standalone, but embedding it inside the
+    renderers' event loops inflates Mosaic compile time badly on remote-
+    compile toolchains, so it is opt-in."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -182,13 +207,17 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     if pack is None:
         pack = volume.shape[0] * volume.shape[1] * volume.shape[2] \
             <= 256 ** 3
-    volume_packed = transfer_packed = None
+    volume_packed = transfer_packed = transfer_banks = None
     if pack:
         volume_packed = sampling.pack_corner_volume(volume)
         transfer_packed = sampling.pack_corner_texture2d(transfer)
         if pack_dtype is not None:
             volume_packed = volume_packed.astype(pack_dtype)
             transfer_packed = transfer_packed.astype(pack_dtype)
+        if tf_banks and volume.shape[-1] == 1:
+            from ..pallas import tf1d
+
+            transfer_banks, _ = tf1d.pack_table(transfer)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -198,6 +227,7 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         projection=camera.projection,
         volume_packed=volume_packed,
         transfer_packed=transfer_packed,
+        transfer_banks=transfer_banks,
     )
 
 

@@ -100,7 +100,7 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
         pos3d_h = jnp.concatenate(
             [ndc, jnp.broadcast_to(ndc_depth, ndc.shape[:-1])[..., None],
              jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)], axis=-1)
-        pos3d = pos3d_h @ scene.mvp_inverse.T
+        pos3d = sampling.apply_mat4(scene.mvp_inverse, pos3d_h)
         pos3d = pos3d[..., :3] / pos3d[..., 3:4]
 
         outside = jnp.any((pos3d > 1.0) | (pos3d < 0.0), axis=-1)

@@ -68,7 +68,7 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     # vLight = (inverseMvp · [lightPos, 1]).xyz without /w (vertex:25)
     lp = jnp.concatenate([jnp.asarray(params.light_position, jnp.float32),
                           jnp.ones((1,), jnp.float32)])
-    light = (scene.mvp_inverse @ lp)[:3]
+    light = sampling.apply_mat4(scene.mvp_inverse, lp)[:3]
 
     # the reference's stateless per-pixel random value (:60,115)
     seed_vec = jnp.array([3.14, 2.71], jnp.float32)

@@ -243,7 +243,8 @@ def rand_vec2(p):
     m = jnp.array([[23.14069263277926, 12.98987893203892],
                    [2.665144142690225, 78.23376739376591]], dtype=_F32)
     d = jnp.array([1235.6789, 4378.5453], dtype=_F32)
-    dotted = jnp.asarray(p, _F32) @ m.T
+    pp = jnp.asarray(p, _F32)
+    dotted = pp[..., 0:1] * m[:, 0] + pp[..., 1:2] * m[:, 1]
     mapped = jnp.stack([jnp.cos(dotted[..., 0]), jnp.sin(dotted[..., 1])],
                        axis=-1)
     return jnp.mod(mapped * d, 1.0)

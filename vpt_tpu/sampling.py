@@ -44,14 +44,24 @@ def intersect_cube(origin, direction):
     return jnp.stack([tnear, tfar], axis=-1)
 
 
+def apply_mat4(m, v):
+    """``v @ m.T`` for (..., 4) vectors as exact float32 elementwise math.
+
+    TPU matmuls default to bf16 inputs; the far-plane homogeneous w of the
+    unprojection is small enough that bf16 rounds it to 0 (→ inf/NaN rays),
+    so all 4-vector transforms avoid the MXU entirely."""
+    return (v[..., 0:1] * m[:, 0] + v[..., 1:2] * m[:, 1]
+            + v[..., 2:3] * m[:, 2] + v[..., 3:4] * m[:, 3])
+
+
 def unproject(ndc, mvp_inverse):
     """NDC position (..., 2) → (from, to) ray endpoints in texture space."""
     ndc = jnp.asarray(ndc, jnp.float32)
     ones = jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)
     near = jnp.concatenate([ndc, -ones, ones], axis=-1)
     far = jnp.concatenate([ndc, ones, ones], axis=-1)
-    f = near @ mvp_inverse.T
-    t = far @ mvp_inverse.T
+    f = apply_mat4(mvp_inverse, near)
+    t = apply_mat4(mvp_inverse, far)
     return f[..., :3] / f[..., 3:4], t[..., :3] / t[..., 3:4]
 
 
@@ -66,8 +76,8 @@ def unproject_rand(state, ndc, mvp_inverse, inverse_resolution, blur):
     ones = jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)
     near = jnp.concatenate([near_xy, -ones, ones], axis=-1)
     far = jnp.concatenate([far_xy, ones, ones], axis=-1)
-    f = near @ mvp_inverse.T
-    t = far @ mvp_inverse.T
+    f = apply_mat4(mvp_inverse, near)
+    t = apply_mat4(mvp_inverse, far)
     return state, f[..., :3] / f[..., 3:4], t[..., :3] / t[..., 3:4]
 
 
@@ -98,7 +108,9 @@ def sample_volume(volume, position):
     (i + 0.5) / N).  Out-of-range positions clamp to the edge."""
     d, h, w, _ = volume.shape
     dims = jnp.array([w, h, d], jnp.float32)
-    u = jnp.clip(position * dims - 0.5, -1.0, dims - 1.0)
+    # GL CLAMP_TO_EDGE clamps the filter coordinate so the fraction is 0 at
+    # the edges (both taps read the edge texel exactly)
+    u = jnp.clip(position * dims - 0.5, 0.0, dims - 1.0)
     i0 = jnp.floor(u)
     f = u - i0
     i0 = i0.astype(jnp.int32)
@@ -156,7 +168,7 @@ def sample_texture2d(texture, uv):
     CLAMP_TO_EDGE."""
     h, w, _ = texture.shape
     dims = jnp.array([w, h], jnp.float32)
-    u = jnp.clip(uv * dims - 0.5, -1.0, dims - 1.0)
+    u = jnp.clip(uv * dims - 0.5, 0.0, dims - 1.0)
     i0 = jnp.floor(u)
     f = u - i0
     i0 = i0.astype(jnp.int32)

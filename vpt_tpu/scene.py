@@ -81,7 +81,8 @@ class Transform:
     @property
     def global_matrix(self):
         if self.node is not None and self.node.parent is not None:
-            return self.node.parent.transform.global_matrix @ self.local_matrix
+            return m4.matmul(self.node.parent.transform.global_matrix,
+                             self.local_matrix)
         return self.local_matrix
 
     @property
@@ -173,14 +174,15 @@ def model_view_matrix(camera: Node, volume_transform: Optional[Transform]):
     model = volume_transform.global_matrix if volume_transform is not None \
         else m4.identity()
     view = camera.transform.inverse_global_matrix
-    return view @ model @ CENTER_MATRIX
+    return m4.matmul(m4.matmul(view, model), CENTER_MATRIX)
 
 
 def mvp_inverse(camera: Node, volume_transform: Optional[Transform] = None):
     """Inverse MVP exactly as the reference builds it per frame
     (``MCMRenderer.js:164-175``): ``inv(P @ V @ M @ center)``."""
     proj = camera.get_component(PerspectiveCamera).projection_matrix
-    return m4.invert(proj @ model_view_matrix(camera, volume_transform))
+    return m4.invert(m4.matmul(proj,
+                               model_view_matrix(camera, volume_transform)))
 
 
 @dataclasses.dataclass
@@ -196,7 +198,7 @@ class CameraState:
         proj = camera.get_component(PerspectiveCamera).projection_matrix
         mv = model_view_matrix(camera, volume_transform)
         return CameraState(
-            mvp_inverse=m4.invert(proj @ mv),
+            mvp_inverse=m4.invert(m4.matmul(proj, mv)),
             model_view=mv,
             projection=proj,
         )

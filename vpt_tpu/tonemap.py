@@ -38,15 +38,74 @@ def _finish(rgb, gamma):
                                           rgb.dtype)], axis=-1)
 
 
+# Raw per-channel curves (pre-gamma), shared by the XLA mappers below and
+# the fused Pallas display kernel (pallas/tonemap_kernel.py).
+
+def _curve_reinhard(x):
+    return x / (1.0 + x)
+
+
+def _curve_reinhard2(x):
+    l_white2 = 4.0 * 4.0
+    return (x * (1.0 + x / l_white2)) / (1.0 + x)
+
+
+def _curve_uncharted2(x):
+    w = 11.2
+    curr = _uncharted2_curve(2.0 * x)
+    return curr / _uncharted2_curve(jnp.float32(w))
+
+
+def _curve_filmic(x):
+    x = jnp.maximum(0.0, x - 0.004)
+    result = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
+    return jnp.power(result, 2.2)
+
+
+def _curve_unreal(x):
+    return x / (x + 0.155) * 1.019
+
+
+def _curve_aces(x):
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def _curve_lottes(x):
+    x = jnp.maximum(x, 0.0)
+    a, d, hdr_max, mid_in, mid_out = 1.6, 0.977, 8.0, 0.18, 0.267
+    b = ((-mid_in ** a + hdr_max ** a * mid_out)
+         / ((hdr_max ** (a * d) - mid_in ** (a * d)) * mid_out))
+    c = ((hdr_max ** (a * d) * mid_in ** a
+          - hdr_max ** a * mid_in ** (a * d) * mid_out)
+         / ((hdr_max ** (a * d) - mid_in ** (a * d)) * mid_out))
+    return jnp.power(x, a) / (jnp.power(x, a * d) * b + c)
+
+
+def _curve_uchimura(x):
+    x = jnp.maximum(x, 0.0)
+    p, a, m, l, c, b = 1.0, 1.0, 0.22, 0.4, 1.33, 0.0
+    l0 = ((p - m) * l) / a
+    s0 = m + l0
+    s1 = m + a * l0
+    c2 = (a * p) / (p - s1)
+    cp = -c2 / p
+    w0 = 1.0 - _smoothstep(0.0, m, x)
+    w2 = jnp.where(x >= m + l0, 1.0, 0.0)
+    w1 = 1.0 - w0 - w2
+    t = m * jnp.power(x / m, c) + b
+    s = p - (p - s1) * jnp.exp(cp * (x - s0))
+    lin = m + a * (x - m)
+    return t * w0 + lin * w1 + s * w2
+
+
 def reinhard(image, exposure=1.0, gamma=2.2):
     x = _split_rgb(image) * exposure
-    return _finish(x / (1.0 + x), gamma)
+    return _finish(_curve_reinhard(x), gamma)
 
 
 def reinhard2(image, exposure=1.0, gamma=2.2):
-    x = _split_rgb(image) * exposure
-    l_white2 = 4.0 * 4.0
-    return _finish((x * (1.0 + x / l_white2)) / (1.0 + x), gamma)
+    return _finish(_curve_reinhard2(_split_rgb(image) * exposure), gamma)
 
 
 def _uncharted2_curve(x):
@@ -55,43 +114,23 @@ def _uncharted2_curve(x):
 
 
 def uncharted2(image, exposure=1.0, gamma=2.2):
-    x = _split_rgb(image) * exposure
-    w = 11.2
-    exposure_bias = 2.0
-    curr = _uncharted2_curve(exposure_bias * x)
-    white_scale = 1.0 / _uncharted2_curve(jnp.full((3,), w, jnp.float32))
-    return _finish(curr * white_scale, gamma)
+    return _finish(_curve_uncharted2(_split_rgb(image) * exposure), gamma)
 
 
 def filmic(image, exposure=1.0, gamma=2.2):
-    x = _split_rgb(image) * exposure
-    x = jnp.maximum(0.0, x - 0.004)
-    result = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
-    return _finish(jnp.power(result, 2.2), gamma)
+    return _finish(_curve_filmic(_split_rgb(image) * exposure), gamma)
 
 
 def unreal(image, exposure=1.0, gamma=2.2):
-    x = _split_rgb(image) * exposure
-    return _finish(x / (x + 0.155) * 1.019, gamma)
+    return _finish(_curve_unreal(_split_rgb(image) * exposure), gamma)
 
 
 def aces(image, exposure=1.0, gamma=2.2):
-    x = _split_rgb(image) * exposure
-    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
-    y = jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
-    return _finish(y, gamma)
+    return _finish(_curve_aces(_split_rgb(image) * exposure), gamma)
 
 
 def lottes(image, exposure=1.0, gamma=2.2):
-    x = jnp.maximum(_split_rgb(image) * exposure, 0.0)
-    a, d, hdr_max, mid_in, mid_out = 1.6, 0.977, 8.0, 0.18, 0.267
-    b = ((-mid_in ** a + hdr_max ** a * mid_out)
-         / ((hdr_max ** (a * d) - mid_in ** (a * d)) * mid_out))
-    c = ((hdr_max ** (a * d) * mid_in ** a
-          - hdr_max ** a * mid_in ** (a * d) * mid_out)
-         / ((hdr_max ** (a * d) - mid_in ** (a * d)) * mid_out))
-    xa = jnp.power(x, a)
-    return _finish(xa / (jnp.power(x, a * d) * b + c), gamma)
+    return _finish(_curve_lottes(_split_rgb(image) * exposure), gamma)
 
 
 def _smoothstep(e0, e1, x):
@@ -100,22 +139,7 @@ def _smoothstep(e0, e1, x):
 
 
 def uchimura(image, exposure=1.0, gamma=2.2):
-    x = jnp.maximum(_split_rgb(image) * exposure, 0.0)
-    p, a, m, l, c, b = 1.0, 1.0, 0.22, 0.4, 1.33, 0.0
-    l0 = ((p - m) * l) / a
-    s0 = m + l0
-    s1 = m + a * l0
-    c2 = (a * p) / (p - s1)
-    cp = -c2 / p
-
-    w0 = 1.0 - _smoothstep(0.0, m, x)
-    w2 = jnp.where(x >= m + l0, 1.0, 0.0)
-    w1 = 1.0 - w0 - w2
-
-    t = m * jnp.power(x / m, c) + b
-    s = p - (p - s1) * jnp.exp(cp * (x - s0))
-    lin = m + a * (x - m)
-    return _finish(t * w0 + lin * w1 + s * w2, gamma)
+    return _finish(_curve_uchimura(_split_rgb(image) * exposure), gamma)
 
 
 def range_map(image, low=0.0, high=1.0, gamma=2.2):
@@ -137,6 +161,17 @@ def artistic(image, low=0.0, mid=0.5, high=1.0, saturation=1.0, gamma=2.2):
     return jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
                                           rgb.dtype)], axis=-1)
 
+
+RAW_CURVES: Dict[str, Callable] = {
+    "reinhard": _curve_reinhard,
+    "reinhard2": _curve_reinhard2,
+    "uncharted2": _curve_uncharted2,
+    "filmic": _curve_filmic,
+    "unreal": _curve_unreal,
+    "aces": _curve_aces,
+    "lottes": _curve_lottes,
+    "uchimura": _curve_uchimura,
+}
 
 TONE_MAPPERS: Dict[str, Callable] = {
     "artistic": artistic,
