@@ -180,7 +180,7 @@ def cmd_animate(args):
     if args.path == "circle":
         animator = CircleAnimator(ctx.camera, radius=args.orbit_radius)
     ctx.record_animation(args.output, frames=args.frames, spp=args.spp,
-                         animator=animator,
+                         animator=animator, video=args.video, fps=args.fps,
                          progress=lambda p: print(f"\r{p * 100:.0f}%",
                                                   end="", flush=True))
     print(f"\nwrote {args.frames} frames to {args.output}")
@@ -271,6 +271,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=36)
     p.add_argument("--path", default="orbit", choices=["orbit", "circle"])
     p.add_argument("--orbit-radius", type=float, default=0.5)
+    p.add_argument("--video", help="also write an animated GIF here")
+    p.add_argument("--fps", type=int, default=25)
     p.set_defaults(func=cmd_animate)
 
     p = sub.add_parser("fit", help="inverse-render a volume from an image")

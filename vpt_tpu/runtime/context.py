@@ -165,17 +165,21 @@ class RenderingContext:
     # -- animation rendering (recordAnimation parity, sample-counted) ------
     def record_animation(self, out_dir, frames: int, spp: int = 16,
                          animator=None, duration: float = 1.0,
-                         progress=None):
-        """Render an animation as PNG frames: for each frame, advance the
-        camera animator, reset, accumulate ``spp`` samples, write the frame
-        (replaces the time-boxed loop of RenderingContext.js:256-303)."""
+                         progress=None, video=None, fps: int = 25):
+        """Render an animation: for each frame, advance the camera animator,
+        reset, accumulate ``spp`` samples, write the frame (replaces the
+        time-boxed loop of RenderingContext.js:256-303; sample-counted per
+        SURVEY §3.5).  ``video``: optionally also write an animated GIF —
+        the counterpart of the reference's MediaRecorder video path
+        (RenderingContext.js:305-352)."""
         from pathlib import Path
 
-        from ..io.image import write_png
+        from ..io.image import to_uint8, write_png
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
         animator = animator or self.camera_animator
+        rendered = []
         for i in range(frames):
             t = duration * i / max(frames - 1, 1)
             if hasattr(animator, "update"):
@@ -184,8 +188,16 @@ class RenderingContext:
                 animator.rotate(1.0 / frames, 0.0)
             self.renderer.state = None
             self.render(frames=spp)
-            write_png(out / f"frame_{i:04d}.png",
-                      np.asarray(self.get_display_image()))
+            img = np.asarray(self.get_display_image())
+            write_png(out / f"frame_{i:04d}.png", img)
+            if video:
+                rendered.append(to_uint8(img))
             if progress:
                 progress((i + 1) / frames)
+        if video:
+            from PIL import Image
+
+            pil = [Image.fromarray(f) for f in rendered]
+            pil[0].save(video, save_all=True, append_images=pil[1:],
+                        duration=int(1000 / fps), loop=0)
         return out

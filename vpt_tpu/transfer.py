@@ -117,6 +117,26 @@ def rasterize(bumps: TransferFunctionBumps, height: int = DEFAULT_SIZE,
     return out
 
 
+def to_gl_texture(texture, srgb: bool = True,
+                  quantize: bool = True) -> jnp.ndarray:
+    """Emulate the reference's GL texture path for the TF.
+
+    The widget canvas uploads as SRGB8_ALPHA8 (AbstractRenderer.js:31-44):
+    the 8-bit color channels are sRGB-decoded to linear when sampled, alpha
+    stays linear.  Apply this to a rasterized TF for sampling-time parity
+    with the reference's renderers; skip it (the default elsewhere) to
+    treat the authored colors as already linear."""
+    tex = jnp.asarray(texture, jnp.float32)
+    if quantize:
+        tex = jnp.round(jnp.clip(tex, 0.0, 1.0) * 255.0) / 255.0
+    if srgb:
+        rgb = tex[..., :3]
+        linear = jnp.where(rgb <= 0.04045, rgb / 12.92,
+                           jnp.power((rgb + 0.055) / 1.055, 2.4))
+        tex = jnp.concatenate([linear, tex[..., 3:4]], axis=-1)
+    return tex
+
+
 def gray_ramp(height: int = 2, width: int = DEFAULT_SIZE,
               alpha_scale: float = 1.0) -> jnp.ndarray:
     """Simple diagnostic TF: color = value, alpha = value * scale."""
