@@ -108,6 +108,16 @@ def _build_context(args):
                               if args.tonemap not in ("artistic", "range")
                               else {}))
 
+    # volume TRS (RenderingContextDialog parity)
+    from . import math3d as m4
+    if getattr(args, "volume_translate", None):
+        ctx.volume_transform.local_translation = args.volume_translate
+    if getattr(args, "volume_rotate", None):
+        ctx.volume_transform.local_rotation = m4.quat_from_euler(
+            *args.volume_rotate)
+    if getattr(args, "volume_scale", None):
+        ctx.volume_transform.local_scale = args.volume_scale
+
     # camera pose
     ctx.camera_animator.distance = args.camera_distance
     ctx.camera_animator.yaw = args.yaw
@@ -141,6 +151,13 @@ def _add_common_args(p):
     p.add_argument("--camera-distance", type=float, default=2.0)
     p.add_argument("--yaw", type=float, default=0.0)
     p.add_argument("--pitch", type=float, default=0.0)
+    p.add_argument("--volume-translate", metavar="X,Y,Z",
+                   type=lambda s: tuple(float(x) for x in s.split(",")))
+    p.add_argument("--volume-rotate", metavar="XDEG,YDEG,ZDEG",
+                   type=lambda s: tuple(float(x) for x in s.split(",")),
+                   help="euler rotation of the volume (degrees)")
+    p.add_argument("--volume-scale", metavar="X,Y,Z",
+                   type=lambda s: tuple(float(x) for x in s.split(",")))
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--precision", default="fast",
