@@ -129,3 +129,16 @@ def test_diff_mcm_value_matches_analog():
                        np.asarray(out_d["radiance"]), atol=1e-5)
     assert np.array_equal(np.asarray(out_a["samples"]),
                           np.asarray(out_d["samples"]))
+
+
+def test_diff_mcs_value_matches_analog():
+    """MCS ratio weights are 1 in value: the differentiable generate must
+    reproduce the analog frame (identical RNG streams)."""
+    sc = make_scene(volume.sphere_volume(8),
+                    jnp.zeros((2, 2, 4), jnp.float32)
+                    .at[..., 3].set(0.5).at[..., :3].set(0.7), pack=False)
+    params = mcs.Params(extinction=5.0)
+    from vpt_tpu.renderers.mcs import generate as analog_generate
+    a = analog_generate(sc, params, jnp.float32(0.3), 8, 8)
+    d = diff_mc.mcs_generate(sc, params, jnp.float32(0.3), 8, 8)
+    assert np.allclose(np.asarray(a), np.asarray(d), atol=1e-5)

@@ -107,3 +107,20 @@ def test_halo_scene_sampler_matches_dense(scene):
 
     dense = sampling.sample_volume(scene.volume, p)
     assert np.allclose(np.asarray(total), np.asarray(dense), atol=1e-6)
+
+
+@pytest.mark.parametrize("key", ["mip", "iso", "depth"])
+def test_halo_march_renderers_match(scene, key):
+    from vpt_tpu.renderers import factory
+
+    module = factory.get_module(key)
+    mesh = make_mesh(8, space=2)
+    params = module.Params()
+    h = w = 16
+    s0 = module.reset(params, h, w, scene)
+    ref = module.render_frame(s0, scene, params, jnp.float32(0.3),
+                              jnp.int32(1))
+    state = place_state(module.reset(params, h, w, scene), mesh)
+    frame_fn, slabs = sharded_render_frame(module, mesh, scene, 2, state)
+    out = frame_fn(state, slabs, params, jnp.float32(0.3), jnp.int32(1))
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-6)
