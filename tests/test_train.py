@@ -86,3 +86,30 @@ def test_fit_recovers_volume_loss_decreases():
     _, _, losses = fit(np.asarray(target), mats, init, tf, steps=60,
                        learning_rate=0.1, params=params)
     assert losses[-1] < losses[0] * 0.1
+
+
+def test_multiview_fit_beats_single_view():
+    """Fitting from 3 orbit views reduces loss on all views."""
+    from vpt_tpu.runtime.animators import OrbitCameraAnimator
+    from vpt_tpu.scene import default_camera
+
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    params = eam.Params(slices=12, random=False)
+    target_vol = volume.blobs_volume(8, seed=4)
+
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    views, targets = [], []
+    for yaw in (0.0, 2.1, 4.2):
+        orbit.yaw = yaw
+        orbit._update_camera()
+        cs = CameraState.from_nodes(cam)
+        mats = (cs.mvp_inverse, cs.model_view, cs.projection)
+        views.append(mats)
+        targets.append(render_eam(target_vol.data, tf, mats, params,
+                                  jnp.float32(0.0), 20, 20))
+
+    init = jnp.full((8, 8, 8, 1), 0.2, jnp.float32)
+    _, _, losses = fit(targets, views, init, tf, steps=50,
+                       learning_rate=0.1, params=params)
+    assert losses[-1] < losses[0] * 0.15

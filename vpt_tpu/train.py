@@ -97,13 +97,54 @@ def fit(target, camera_matrices, init_volume, init_tf,
         params: Optional[eam.Params] = None,
         fit_volume: bool = True, fit_tf: bool = False,
         verbose: bool = False):
-    """Convenience driver: Adam-optimize a volume (and/or TF) against a
-    target EAM rendering.  Returns (volume, tf, losses)."""
-    height, width = target.shape[:2]
+    """Convenience driver: Adam-optimize a volume (and/or TF) against target
+    EAM renderings.  Returns (volume, tf, losses).
+
+    Multi-view: pass ``target`` as a list of images and
+    ``camera_matrices`` as a matching list of (mvp_inv, model_view, proj)
+    tuples — the loss is averaged over views (single-view reconstruction is
+    ill-posed along the view axis; a handful of orbit views resolves it)."""
+    if not isinstance(target, (list, tuple)):
+        target = [target]
+        camera_matrices = [camera_matrices]
+    targets = [jnp.asarray(t, jnp.float32) for t in target]
+    height, width = targets[0].shape[:2]
+    mats = (jnp.stack([m[0] for m in camera_matrices]),
+            jnp.stack([m[1] for m in camera_matrices]),
+            jnp.stack([m[2] for m in camera_matrices]))
+    targets = jnp.stack(targets)
+
     optimizer = optax.adam(learning_rate)
-    step = jax.jit(make_train_step(
-        optimizer, params=params, height=height, width=width,
-        fit_volume=fit_volume, fit_tf=fit_tf))
+    params = params or eam.Params(random=False)
+
+    def multiview_loss(fit_leaves, static_leaves, mats, targets, seed):
+        volume_data = fit_leaves.get("volume", static_leaves.get("volume"))
+        tf_texture = fit_leaves.get("tf", static_leaves.get("tf"))
+
+        def one(view):
+            mvp_inv, mv, proj, tgt = view
+            pred = render_eam(volume_data, tf_texture, (mvp_inv, mv, proj),
+                              params, seed, height, width)
+            return jnp.mean((pred[..., :3] - tgt[..., :3]) ** 2)
+
+        losses = jax.vmap(one)((mats[0], mats[1], mats[2], targets))
+        return jnp.mean(losses)
+
+    @jax.jit
+    def step(volume_data, tf_texture, opt_state, seed):
+        fit_leaves = {}
+        static_leaves = {}
+        (fit_leaves if fit_volume else static_leaves)["volume"] = volume_data
+        (fit_leaves if fit_tf else static_leaves)["tf"] = tf_texture
+        loss, grads = jax.value_and_grad(multiview_loss)(
+            fit_leaves, static_leaves, mats, targets, seed)
+        updates, opt_state = optimizer.update(grads, opt_state, fit_leaves)
+        new_fit = optax.apply_updates(fit_leaves, updates)
+        new_volume = new_fit.get("volume", volume_data)
+        new_tf = new_fit.get("tf", tf_texture)
+        if fit_volume:
+            new_volume = jnp.clip(new_volume, 0.0, 1.0)
+        return loss, new_volume, new_tf, opt_state
 
     fit_leaves = {}
     if fit_volume:
@@ -116,8 +157,7 @@ def fit(target, camera_matrices, init_volume, init_tf,
     losses = []
     for i in range(steps):
         loss, volume_data, tf_texture, opt_state = step(
-            volume_data, tf_texture, opt_state, camera_matrices, target,
-            jnp.float32(0.0))
+            volume_data, tf_texture, opt_state, jnp.float32(0.0))
         losses.append(float(loss))
         if verbose and i % 10 == 0:
             print(f"step {i}: loss {losses[-1]:.6f}")
