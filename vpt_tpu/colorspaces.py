@@ -79,9 +79,7 @@ def yuv2rgb(yuv, standard="bt601"):
     return jnp.matmul(yuv, m.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def smoothstep(edge0, edge1, x):
-    t = jnp.clip((x - edge0) / (edge1 - edge0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
+from .utils import smoothstep  # noqa: E402 — single shared implementation
 
 
 def hue(x):

@@ -35,8 +35,16 @@ class RangeRequestHandler(SimpleHTTPRequestHandler):
             self.send_error(404, "File not found")
             return None
         size = os.path.getsize(path)
-        start = int(match.group(1)) if match.group(1) else 0
-        end = int(match.group(2)) if match.group(2) else size - 1
+        if match.group(1):
+            start = int(match.group(1))
+            end = int(match.group(2)) if match.group(2) else size - 1
+        elif match.group(2):
+            # suffix form 'bytes=-N': the last N bytes
+            start = max(size - int(match.group(2)), 0)
+            end = size - 1
+        else:
+            self.send_error(416, "Requested Range Not Satisfiable")
+            return None
         end = min(end, size - 1)
         if start > end or start >= size:
             self.send_error(416, "Requested Range Not Satisfiable")

@@ -149,10 +149,14 @@ def invert(m):
         return jnp.linalg.inv(m).astype(jnp.float32)
 
 
-def _apply(m, v4):
-    """``v4 @ m.T`` as exact elementwise float32 (no MXU)."""
+def apply_mat4(m, v4):
+    """``v4 @ m.T`` as exact elementwise float32 (no MXU — TPU matmuls
+    default to bf16 operands, which underflows small homogeneous terms)."""
     return (v4[..., 0:1] * m[:, 0] + v4[..., 1:2] * m[:, 1]
             + v4[..., 2:3] * m[:, 2] + v4[..., 3:4] * m[:, 3])
+
+
+_apply = apply_mat4
 
 
 def transform_point(m, p):

@@ -127,18 +127,15 @@ class HaloScene:
         return sampling.sample_environment(self.environment, direction)
 
     def value_gradient(self, position, h):
-        offs = jnp.eye(3, dtype=jnp.float32) * h
-        grads = [self.sample_color(position + offs[i])[..., 3]
-                 - self.sample_color(position - offs[i])[..., 3]
-                 for i in range(3)]
-        return jnp.stack(grads, axis=-1) / (2.0 * h)
+        from .. import sampling
+
+        return sampling.central_value_gradient(self.sample_color, position, h)
 
     def raw_gradient(self, position, voxel_size):
-        offs = jnp.eye(3, dtype=jnp.float32) * jnp.float32(voxel_size)
-        grads = [self.sample_value(position - offs[i])
-                 - self.sample_value(position + offs[i])
-                 for i in range(3)]
-        return jnp.stack(grads, axis=-1)
+        from .. import sampling
+
+        return sampling.central_raw_gradient(self.sample_value, position,
+                                             voxel_size)
 
 
 def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,

@@ -46,14 +46,21 @@ def sharded_scene(scene: Scene, mesh: Mesh,
                          if scene.transfer_packed is not None else None),
         transfer_banks=(jax.device_put(scene.transfer_banks, rep)
                         if scene.transfer_banks is not None else None),
+        filter=scene.filter,
     )
 
 
 def _state_sharding(state, mesh: Mesh):
-    """Row-shard every (H, W, ...) leaf of a renderer state pytree; scalar
-    leaves (DOS depth counters) replicate."""
+    """Row-shard the (H, W, ...) pixel leaves of a renderer state pytree;
+    everything else (scalars, DOS's (samples, 2) tap table) replicates.
+    The pixel height is inferred as the leading dim shared by the largest
+    leaves."""
+    leaves = jax.tree_util.tree_leaves(state)
+    height = max((leaf.shape[0] for leaf in leaves
+                  if getattr(leaf, "ndim", 0) >= 2), default=None)
+
     def leaf_sharding(leaf):
-        if getattr(leaf, "ndim", 0) >= 2:
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[0] == height:
             return NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
 

@@ -81,38 +81,40 @@ class Scene:
     volume_packed: Any = None         # (D·H·W, 8·C) or None
     transfer_packed: Any = None       # (TH·TW, 16) or None
     transfer_banks: Any = None        # (n_banks·4, 128) lane-shuffle table
+    filter: str = "linear"            # volume filter (static)
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
-                self.transfer_banks), None
+                self.transfer_banks), self.filter
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, filter=aux)
 
     # -- samplers (the GLSL sampleVolumeColor / sampleEnvironmentMap) ------
     def sample_volume_rg(self, position):
         """texture(uVolume, p).rg — trilinear (value, grad-mag) pair."""
         from .. import sampling
 
-        if self.volume_packed is not None:
+        if self.volume_packed is not None and self.filter == "linear":
             s = sampling.sample_volume_packed(
                 self.volume_packed, self.volume.shape, position)
             if s.shape[-1] >= 2:
                 return s[..., :2]
             return jnp.concatenate([s, jnp.zeros_like(s)], axis=-1)
-        return sampling.volume_rg(self.volume, position)
+        return sampling.volume_rg(self.volume, position, self.filter)
 
     def sample_value(self, position):
         """Raw channel-0 trilinear fetch (LAO's sampleVolume)."""
         from .. import sampling
 
-        if self.volume_packed is not None:
+        if self.volume_packed is not None and self.filter == "linear":
             return sampling.sample_volume_packed(
                 self.volume_packed, self.volume.shape, position)[..., 0]
-        return sampling.sample_volume(self.volume, position)[..., 0]
+        return sampling.volume_rg(self.volume, position,
+                                  self.filter)[..., 0]
 
     def sample_transfer(self, uv):
         from .. import sampling
@@ -157,19 +159,16 @@ class Scene:
 
     def value_gradient(self, position, h):
         """Central-difference gradient of TF alpha (ISORenderer.glsl:165-177)."""
-        offs = jnp.eye(3, dtype=jnp.float32) * h
-        grads = [self.sample_color(position + offs[i])[..., 3]
-                 - self.sample_color(position - offs[i])[..., 3]
-                 for i in range(3)]
-        return jnp.stack(grads, axis=-1) / (2.0 * h)
+        from .. import sampling
+
+        return sampling.central_value_gradient(self.sample_color, position, h)
 
     def raw_gradient(self, position, voxel_size):
         """LAO's negated central difference (LAORenderer.glsl:73-80)."""
-        offs = jnp.eye(3, dtype=jnp.float32) * jnp.float32(voxel_size)
-        grads = [self.sample_value(position - offs[i])
-                 - self.sample_value(position + offs[i])
-                 for i in range(3)]
-        return jnp.stack(grads, axis=-1)
+        from .. import sampling
+
+        return sampling.central_raw_gradient(self.sample_value, position,
+                                             voxel_size)
 
 
 def make_scene(volume, transfer, camera: Optional[Any] = None,
@@ -194,7 +193,9 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
 
+    vol_filter = "linear"
     if isinstance(volume, Volume):
+        vol_filter = volume.filter
         volume = volume.data
     if camera is None:
         camera = default_camera()
@@ -207,6 +208,8 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     if pack is None:
         pack = volume.shape[0] * volume.shape[1] * volume.shape[2] \
             <= 256 ** 3
+    if vol_filter != "linear":
+        pack = False  # packed tables implement the linear filter only
     volume_packed = transfer_packed = transfer_banks = None
     if pack:
         volume_packed = sampling.pack_corner_volume(volume)
@@ -228,6 +231,7 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         volume_packed=volume_packed,
         transfer_packed=transfer_packed,
         transfer_banks=transfer_banks,
+        filter=vol_filter,
     )
 
 

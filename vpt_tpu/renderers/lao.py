@@ -92,24 +92,33 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         grad_mag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
         value = value_at(position)
 
-        # --- local ambient occlusion (:135-151); samples are identical so
-        # the sample mean equals one evaluation ---
+        # --- local ambient occlusion (:135-151).  The stateless rand makes
+        # every sample identical, but the reference does NOT reset its inner
+        # accumulator between samples (:136-148): each iteration adds the
+        # same inner sum S to the carried value, rescales by 1/coefficient,
+        # clamps, and adds to the total — reproduced exactly for N > 1. ---
         lao = jnp.zeros_like(value)
         if params.local_ambient_occlusion:
             rdir = jnp.sign(2.0 * rx - 1.0)[..., None] \
                 * (rx / np.sqrt(3.0))[..., None] * jnp.ones((1, 1, 3))
             t2s = np.arange(0.001, 1.0, params.lao_step_size,
                             dtype=np.float32)
-            contrib = jnp.zeros_like(value)
+            inner = jnp.zeros_like(value)
             for t2 in t2s:
                 lao_half = light + rdir * (params.light_radius * t2) \
                     - position
                 lao_half = lao_half / jnp.sqrt(jnp.maximum(
                     jnp.sum(lao_half ** 2, axis=-1, keepdims=True), 1e-20))
                 sample_pos = position + lao_half * t2
-                contrib = contrib + value_at(sample_pos) \
+                inner = inner + value_at(sample_pos) \
                     * np.float32((1.0 - t2) ** 2)
-            lao = jnp.clip(contrib / params.light_coefficient, 0.0, 1.0)
+            carried = jnp.zeros_like(value)
+            total = jnp.zeros_like(value)
+            for _ in range(params.num_lao_samples):
+                carried = jnp.clip((carried + inner)
+                                   / params.light_coefficient, 0.0, 1.0)
+                total = total + carried
+            lao = total / params.num_lao_samples
 
         # --- soft shadows (:153-167); again one evaluation suffices ---
         soft = jnp.zeros_like(value)

@@ -45,8 +45,9 @@ class RenderingContext:
         self.renderer_key: Optional[str] = None
         self.tone_mapper = tonemap_mod.ToneMapper("artistic")
         self.profiler = RenderProfiler()
-        self._frame_seed = np.random.default_rng(0)
+        self.seed0 = 0  # stream id; frame seeds derive from (seed0, frame)
         self._scene_dirty = True
+        self._camera_dirty = True
         self._scene: Optional[renderer_base.Scene] = None
 
         # camera motion resets accumulation (RenderingContext.js:42-46)
@@ -100,15 +101,20 @@ class RenderingContext:
 
     # -- scene assembly ----------------------------------------------------
     def _on_view_change(self):
-        self._scene_dirty = True
+        # camera-only change: keep the (expensive) packed sampling tables,
+        # just refresh the matrices at next get_scene
+        self._camera_dirty = True
         if self.renderer:
             self.renderer.state = None   # reset accumulation
 
     def get_scene(self) -> renderer_base.Scene:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
         if self._scene is None or self._scene_dirty:
             if self.volume is None:
                 raise RuntimeError("no volume set")
-            import jax.numpy as jnp
             cam = CameraState.from_nodes(self.camera, self.volume_transform)
             self._scene = renderer_base.make_scene(
                 self.volume, self.transfer_texture, camera=cam,
@@ -116,7 +122,24 @@ class RenderingContext:
                 pack_dtype=(jnp.bfloat16 if self.precision == "fast"
                             else None))
             self._scene_dirty = False
+            self._camera_dirty = False
+        elif self._camera_dirty:
+            cam = CameraState.from_nodes(self.camera, self.volume_transform)
+            self._scene = _dc.replace(
+                self._scene, mvp_inverse=cam.mvp_inverse,
+                model_view=cam.model_view, projection=cam.projection)
+            self._camera_dirty = False
         return self._scene
+
+    def _frame_seed(self, frame_number: int) -> float:
+        """Deterministic per-frame seed from (seed0, frame index) — a
+        resumed render continues the exact seed sequence of an
+        uninterrupted one."""
+        h = (frame_number * 2654435761 + self.seed0 * 40503 + 1) & 0xFFFFFFFF
+        h ^= h >> 15
+        h = (h * 2246822519) & 0xFFFFFFFF
+        h ^= h >> 13
+        return (h & 0xFFFFFF) / float(1 << 24)
 
     # -- render loop (sample-counted) -------------------------------------
     def render(self, frames: int = 1):
@@ -124,9 +147,11 @@ class RenderingContext:
         if self.renderer is None:
             self.choose_renderer("mcm")
         scene = self.get_scene()
-        events = self.resolution ** 2
+        # events = pixels x MC steps per frame (matches bench.py's metric)
+        events = self.resolution ** 2 * getattr(self.renderer.params,
+                                                "steps", 1)
         for _ in range(frames):
-            seed = float(self._frame_seed.random(dtype=np.float32))
+            seed = self._frame_seed(self.renderer.frame_number + 1)
             with self.profiler.stage("render_frame", events=events):
                 self.renderer.render(scene, seed)
         return self
@@ -148,7 +173,7 @@ class RenderingContext:
         from . import checkpoint
 
         state = self.renderer.state
-        extra = {}
+        extra = {"seed0": self.seed0}
         if isinstance(state, dict):
             extra["state_keys"] = sorted(state)
         checkpoint.save(path, self.renderer_key, state,
@@ -158,9 +183,13 @@ class RenderingContext:
     def load_checkpoint(self, path):
         from . import checkpoint
 
+        import json
+
         self.renderer = checkpoint.resume_renderer(
             path, height=self.resolution, width=self.resolution)
-        self.renderer_key = None  # key restored inside the renderer
+        meta = json.loads(str(np.load(path, allow_pickle=False)["__meta__"]))
+        self.renderer_key = meta["renderer"]
+        self.seed0 = meta.get("extra", {}).get("seed0", self.seed0)
 
     # -- animation rendering (recordAnimation parity, sample-counted) ------
     def record_animation(self, out_dir, frames: int, spp: int = 16,

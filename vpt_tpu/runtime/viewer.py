@@ -139,20 +139,25 @@ class ViewerServer:
         extinction = float(q.get("extinction", ["20"])[0])
         reset = q.get("reset", ["0"])[0] == "1"
 
-        pose = (yaw, pitch, distance, renderer, tonemap, extinction)
-        if pose != self._pose or reset or ctx.renderer is None \
-                or ctx.renderer.state is None:
-            self._pose = pose
-            ctx.camera_animator.yaw = yaw
-            ctx.camera_animator.pitch = pitch
-            ctx.camera_animator.distance = distance
-            ctx.camera_animator._update_camera()  # fires reset listener
+        config = (renderer, tonemap, extinction)
+        pose = (yaw, pitch, distance)
+        if config != getattr(self, "_config", None) or ctx.renderer is None:
+            # renderer/tonemap/extinction change: rebuild (recompiles)
+            self._config = config
             module = factory.get_module(renderer)
             params = module.Params()
             if hasattr(params, "extinction"):
                 params = module.Params(extinction=extinction)
             ctx.choose_renderer(renderer, params=params)
             ctx.choose_tone_mapper(tonemap)
+        if pose != self._pose or reset:
+            # camera-only change: move the camera (fires the accumulation
+            # reset listener) but KEEP the compiled renderer
+            self._pose = pose
+            ctx.camera_animator.yaw = yaw
+            ctx.camera_animator.pitch = pitch
+            ctx.camera_animator.distance = distance
+            ctx.camera_animator._update_camera()
 
     def _render_png(self, q) -> bytes:
         from PIL import Image

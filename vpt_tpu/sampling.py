@@ -44,14 +44,7 @@ def intersect_cube(origin, direction):
     return jnp.stack([tnear, tfar], axis=-1)
 
 
-def apply_mat4(m, v):
-    """``v @ m.T`` for (..., 4) vectors as exact float32 elementwise math.
-
-    TPU matmuls default to bf16 inputs; the far-plane homogeneous w of the
-    unprojection is small enough that bf16 rounds it to 0 (→ inf/NaN rays),
-    so all 4-vector transforms avoid the MXU entirely."""
-    return (v[..., 0:1] * m[:, 0] + v[..., 1:2] * m[:, 1]
-            + v[..., 2:3] * m[:, 2] + v[..., 3:4] * m[:, 3])
+from .math3d import apply_mat4  # exact elementwise mat4 apply (no MXU)
 
 
 def unproject(ndc, mvp_inverse):
@@ -304,32 +297,40 @@ def sample_environment(env, direction):
 # Shading helpers
 # ---------------------------------------------------------------------------
 
-def value_gradient(volume, tf, position, h):
-    """Central-difference gradient of the TF alpha channel
-    (ISORenderer.glsl:165-177)."""
-    def alpha(p):
-        return sample_volume_color(volume, tf, p)[..., 3]
-
+def central_value_gradient(sample_color_fn, position, h):
+    """Central-difference gradient of TF alpha through any color sampler
+    (ISORenderer.glsl:165-177) — the single implementation behind
+    Scene/HaloScene.value_gradient."""
     offs = jnp.eye(3, dtype=jnp.float32) * h
-    grads = [
-        alpha(position + offs[i]) - alpha(position - offs[i])
-        for i in range(3)
-    ]
+    grads = [sample_color_fn(position + offs[i])[..., 3]
+             - sample_color_fn(position - offs[i])[..., 3]
+             for i in range(3)]
     return jnp.stack(grads, axis=-1) / (2.0 * h)
 
 
-def raw_gradient(volume, position, voxel_size):
-    """Central-difference gradient of the raw volume value — LAO convention
-    (LAORenderer.glsl:73-80, note its negated sign)."""
-    def value(p):
-        return sample_volume(volume, p)[..., 0]
-
-    offs = jnp.eye(3, dtype=jnp.float32) * jnp.asarray(voxel_size, jnp.float32)
-    grads = [
-        value(position - offs[i]) - value(position + offs[i])
-        for i in range(3)
-    ]
+def central_raw_gradient(sample_value_fn, position, voxel_size):
+    """LAO's negated central difference of the raw value
+    (LAORenderer.glsl:73-80)."""
+    offs = jnp.eye(3, dtype=jnp.float32) * jnp.asarray(voxel_size,
+                                                       jnp.float32)
+    grads = [sample_value_fn(position - offs[i])
+             - sample_value_fn(position + offs[i])
+             for i in range(3)]
     return jnp.stack(grads, axis=-1)
+
+
+def value_gradient(volume, tf, position, h):
+    """Central-difference gradient of the TF alpha channel over raw
+    volume/tf arrays."""
+    return central_value_gradient(
+        lambda p: sample_volume_color(volume, tf, p), position, h)
+
+
+def raw_gradient(volume, position, voxel_size):
+    """Central-difference gradient of the raw volume value — LAO
+    convention."""
+    return central_raw_gradient(
+        lambda p: sample_volume(volume, p)[..., 0], position, voxel_size)
 
 
 def henyey_greenstein_cosine(state, g):

@@ -24,6 +24,8 @@ from typing import Callable, Dict
 
 import jax.numpy as jnp
 
+from .utils import smoothstep as _smoothstep
+
 
 def _split_rgb(image):
     if image.shape[-1] == 4:
@@ -133,9 +135,7 @@ def lottes(image, exposure=1.0, gamma=2.2):
     return _finish(_curve_lottes(_split_rgb(image) * exposure), gamma)
 
 
-def _smoothstep(e0, e1, x):
-    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
+
 
 
 def uchimura(image, exposure=1.0, gamma=2.2):
