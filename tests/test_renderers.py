@@ -314,3 +314,15 @@ def test_static_param_changes_recompile_cleanly(scene64):
     f2 = eam.generate(scene64, p2, jnp.float32(0.0), 8, 8)
     assert f1.shape == f2.shape
     assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+
+def test_lao_num_samples_changes_output(scene64):
+    """The reference's carried (non-reset) LAO accumulator makes N>1 differ
+    from N=1 (LAORenderer.glsl:136-150)."""
+    from vpt_tpu.renderers import lao
+
+    p1 = lao.Params(num_lao_samples=1)
+    p4 = lao.Params(num_lao_samples=4)
+    a = lao.generate(scene64, p1, jnp.float32(0.1), 24, 24)
+    b = lao.generate(scene64, p4, jnp.float32(0.1), 24, 24)
+    assert not np.allclose(np.asarray(a), np.asarray(b))

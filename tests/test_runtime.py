@@ -140,3 +140,23 @@ def test_viewer_server_endpoints():
         assert png2[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.shutdown()
+
+
+def test_viewer_pose_change_keeps_renderer():
+    """Camera drags must not rebuild the compiled renderer (only
+    config changes may)."""
+    from vpt_tpu.runtime.viewer import ViewerServer
+
+    ctx = make_ctx("mip", resolution=24)
+    server = ViewerServer(ctx, port=0)
+    q1 = {"yaw": ["0.1"], "pitch": ["0.0"], "renderer": ["mip"],
+          "tonemap": ["reinhard"], "extinction": ["20"], "reset": ["1"]}
+    server._apply_query(q1)
+    r1 = ctx.renderer
+    q2 = dict(q1, yaw=["0.5"], reset=["0"])
+    server._apply_query(q2)
+    assert ctx.renderer is r1          # pose change: same renderer object
+    assert ctx.renderer.state is None  # but accumulation reset
+    q3 = dict(q2, extinction=["55"])
+    server._apply_query(q3)
+    assert ctx.renderer is not r1      # config change: rebuilt
