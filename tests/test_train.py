@@ -113,3 +113,30 @@ def test_multiview_fit_beats_single_view():
     _, _, losses = fit(targets, views, init, tf, steps=50,
                        learning_rate=0.1, params=params)
     assert losses[-1] < losses[0] * 0.15
+
+
+def test_fit_mc_recovers_tf_alpha():
+    """MC inverse rendering (BASELINE config 3 structure): recover the TF
+    opacity of a homogeneous volume from an MCM-rendered target."""
+    from vpt_tpu.renderers import diff_mc, make_scene, mcm
+    from vpt_tpu.train import fit_mc
+
+    vol = volume.Volume(jnp.ones((4, 4, 4, 1), jnp.float32))
+    target_alpha = 0.45
+    tf_target = jnp.zeros((2, 2, 4), jnp.float32).at[..., 3].set(target_alpha)
+    sc = make_scene(vol, tf_target, pack=False)
+    params = mcm.Params(extinction=4.0, steps=24)
+    n = 6
+    target = diff_mc.mcm_expected_image(sc, params, n, n, frames=150)
+
+    tf_init = jnp.zeros((2, 2, 4), jnp.float32).at[..., 3].set(0.15)
+    _, tf_fit, losses = fit_mc(target, sc, init_tf=tf_init, params=params,
+                               frames=60, steps=40, learning_rate=0.03)
+    assert losses[-1] < losses[0] * 0.3
+    # the homogeneous volume samples the TF only at (value=1, y=0): compare
+    # the fitted opacity where the renderer actually reads it
+    from vpt_tpu import sampling
+
+    got = float(sampling.sample_texture2d(
+        tf_fit, jnp.array([[1.0, 0.0]]))[0, 3])
+    assert abs(got - target_alpha) < 0.12, got

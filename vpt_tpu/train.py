@@ -92,6 +92,81 @@ def make_train_step(optimizer: optax.GradientTransformation,
     return step
 
 
+def fit_mc(target, scene_template, init_volume=None, init_tf=None,
+           renderer: str = "mcm", params=None, frames: int = 64,
+           steps: int = 50, learning_rate: float = 0.02,
+           verbose: bool = False):
+    """Inverse rendering through the Monte-Carlo estimators (BASELINE
+    config 3: voxel-density gradients through MCM).
+
+    Optimizes the voxel grid and/or TF texture so the *expected* MC
+    radiance matches ``target``, using the detached-decision ratio-weight
+    estimators of :mod:`vpt_tpu.renderers.diff_mc` (score-function +
+    pathwise gradients; same RNG streams as the analog renderers).
+    Returns (volume, tf, losses)."""
+    import dataclasses as _dc
+
+    from .renderers import diff_mc
+    from .renderers import mcm as mcm_mod
+    from .renderers import mcs as mcs_mod
+
+    if renderer == "mcm":
+        params = params or mcm_mod.Params(extinction=10.0, steps=16)
+        expected = diff_mc.mcm_expected_image
+    elif renderer == "mcs":
+        params = params or mcs_mod.Params(extinction=5.0)
+        expected = diff_mc.mcs_expected_image
+    else:
+        raise ValueError("fit_mc supports 'mcm' and 'mcs'")
+
+    target = jnp.asarray(target, jnp.float32)
+    height, width = target.shape[:2]
+    fit_volume = init_volume is not None
+    fit_tf = init_tf is not None
+    if not (fit_volume or fit_tf):
+        raise ValueError("nothing to fit: pass init_volume and/or init_tf")
+
+    optimizer = optax.adam(learning_rate)
+
+    def loss_fn(leaves, seed0):
+        sc = _dc.replace(
+            scene_template,
+            volume=leaves.get("volume", scene_template.volume),
+            transfer=leaves.get("tf", scene_template.transfer),
+            volume_packed=None, transfer_packed=None, transfer_banks=None)
+        img = expected(sc, params, height, width, frames, seed0=seed0)
+        pred = img[..., :3] if img.shape[-1] >= 3 else img
+        return jnp.mean((pred - target[..., :3]) ** 2)
+
+    @jax.jit
+    def step(leaves, opt_state, seed0):
+        loss, grads = jax.value_and_grad(loss_fn)(leaves, seed0)
+        updates, opt_state = optimizer.update(grads, opt_state, leaves)
+        leaves = optax.apply_updates(leaves, updates)
+        if "volume" in leaves:
+            leaves["volume"] = jnp.clip(leaves["volume"], 0.0, 1.0)
+        if "tf" in leaves:
+            leaves["tf"] = jnp.clip(leaves["tf"], 0.0, 1.0)
+        return loss, leaves, opt_state
+
+    leaves = {}
+    if fit_volume:
+        leaves["volume"] = jnp.asarray(init_volume, jnp.float32)
+    if fit_tf:
+        leaves["tf"] = jnp.asarray(init_tf, jnp.float32)
+    opt_state = optimizer.init(leaves)
+
+    losses = []
+    for i in range(steps):
+        # fresh seed stream per step: decorrelates estimator noise
+        loss, leaves, opt_state = step(leaves, opt_state,
+                                       jnp.float32(0.1 + 0.013 * i))
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return leaves.get("volume"), leaves.get("tf"), losses
+
+
 def fit(target, camera_matrices, init_volume, init_tf,
         steps: int = 100, learning_rate: float = 0.05,
         params: Optional[eam.Params] = None,
