@@ -128,3 +128,77 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_bucketed_gradients_match_monolithic(scene):
+    """Per-bucket voxel gradients (the overlappable all-reduce structure)
+    must equal the single-tensor gradient exactly."""
+    from vpt_tpu.parallel.overlap import (
+        join_volume, split_volume, value_and_grad_bucketed,
+    )
+
+    params = eam.Params(slices=8, random=False)
+    h = w = 16
+
+    def loss_of_volume(volume_data):
+        sc = type(scene)(volume=volume_data, transfer=scene.transfer,
+                         environment=scene.environment,
+                         mvp_inverse=scene.mvp_inverse,
+                         model_view=scene.model_view,
+                         projection=scene.projection)
+        img = eam.generate(sc, params, jnp.float32(0.0), h, w)
+        return jnp.sum(img[..., :3] ** 2)
+
+    g_ref = jax.grad(loss_of_volume)(scene.volume)
+
+    buckets = split_volume(scene.volume, 4)
+    _, g_buckets = jax.jit(
+        lambda b: value_and_grad_bucketed(loss_of_volume, b))(buckets)
+    # fp reassociation: one scatter-add becomes four -> ~3e-6 relative
+    assert np.allclose(np.asarray(join_volume(g_buckets)),
+                       np.asarray(g_ref), atol=5e-5)
+
+    # sharded: buckets over data-parallel pixels -> psum per bucket
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc_sh = sharded_scene(scene, mesh)
+    buckets_sh = split_volume(sc_sh.volume, 4)
+
+    def loss_sh(volume_data):
+        sc = type(scene)(volume=volume_data, transfer=sc_sh.transfer,
+                         environment=sc_sh.environment,
+                         mvp_inverse=sc_sh.mvp_inverse,
+                         model_view=sc_sh.model_view,
+                         projection=sc_sh.projection)
+        img = eam.generate(sc, params, jnp.float32(0.0), h, w)
+        return jnp.sum(img[..., :3] ** 2)
+
+    _, g_sh = jax.jit(
+        lambda b: value_and_grad_bucketed(loss_sh, b))(buckets_sh)
+    assert np.allclose(np.asarray(join_volume(g_sh)), np.asarray(g_ref),
+                       atol=1e-5)
+
+
+def test_bucketed_train_step_decreases_loss(scene):
+    import optax
+
+    from vpt_tpu.parallel.overlap import bucketed_train_step, split_volume
+
+    params = eam.Params(slices=8, random=False)
+    target = jnp.zeros((16, 16, 4), jnp.float32)
+
+    def loss_of_volume(volume_data):
+        sc = type(scene)(volume=volume_data, transfer=scene.transfer,
+                         environment=scene.environment,
+                         mvp_inverse=scene.mvp_inverse,
+                         model_view=scene.model_view,
+                         projection=scene.projection)
+        img = eam.generate(sc, params, jnp.float32(0.0), 16, 16)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    optimizer = optax.sgd(0.5)
+    step = jax.jit(bucketed_train_step(optimizer, loss_of_volume, 4))
+    vol = scene.volume
+    opt_state = optimizer.init(split_volume(vol, 4))
+    l1, vol, opt_state = step(vol, opt_state)
+    l2, vol, _ = step(vol, opt_state)
+    assert float(l2) < float(l1)
