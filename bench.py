@@ -27,8 +27,10 @@ def main():
     vol = volume.sphere_volume(128)
     tf = transfer.gray_ramp(alpha_scale=0.8)
     # bf16 corner tables: ~4x faster gathers; 8-bit-mantissa table precision,
-    # comparable to the reference's R8/SRGB8 GL texture formats
-    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16)
+    # comparable to the reference's R8/SRGB8 GL texture formats.
+    # tf_mxu: 1D TF lookup as a one-hot MXU matmul instead of an HBM gather
+    # (same 8-bit-fraction precision class; ~2x the TF-gather speed)
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
 
     state = mcm.reset(params, height, width, scene)

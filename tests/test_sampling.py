@@ -195,6 +195,45 @@ def test_packed_texture_matches_slow_path():
     assert np.allclose(slow, fast, atol=1e-6)
 
 
+def test_mxu_transfer_matches_bilinear_lookup():
+    """The one-hot-matmul 1D TF path must match the 2D bilinear lookup at
+    uv=(value, 0).  f32 table: near-exact; bf16 table: ~8-bit fraction
+    precision (the opt-in fast-path contract)."""
+    from vpt_tpu import transfer
+    t = transfer.rasterize(transfer.TransferFunctionBumps.default(), 64, 64)
+    rng_np = np.random.default_rng(3)
+    value = jnp.asarray(rng_np.uniform(-0.1, 1.1, (4000,)).astype(np.float32))
+    uv = jnp.stack([value, jnp.zeros_like(value)], axis=-1)
+    oracle = np.asarray(sampling.sample_texture2d(t, uv))
+
+    tab32 = sampling.pack_mxu_transfer(t, jnp.float32)
+    got32 = np.asarray(sampling.sample_transfer_1d_mxu(tab32, value))
+    assert np.allclose(oracle, got32, atol=1e-5)
+
+    tab16 = sampling.pack_mxu_transfer(t, jnp.bfloat16)
+    got16 = np.asarray(sampling.sample_transfer_1d_mxu(tab16, value))
+    assert np.allclose(oracle, got16, atol=2e-2)
+
+
+def test_scene_tf_mxu_renders_close_to_gather_path():
+    """An mcm frame on a tf_mxu scene stays close to the gather-path frame
+    (identical RNG stream; only the TF lookup numerics differ)."""
+    from vpt_tpu import transfer
+    from vpt_tpu.renderers import make_scene, mcm
+    v = vol.sphere_volume(16)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    sc_mxu = make_scene(v, tf, tf_mxu=True)
+    assert sc_mxu.transfer_mxu is not None
+    sc_ref = make_scene(v, tf)
+    params = mcm.Params(extinction=30.0, steps=4)
+    s0a = mcm.reset(params, 16, 16, sc_mxu)
+    s0b = mcm.reset(params, 16, 16, sc_ref)
+    a = mcm.render_frame(s0a, sc_mxu, params, jnp.float32(0.4), jnp.int32(1))
+    b = mcm.render_frame(s0b, sc_ref, params, jnp.float32(0.4), jnp.int32(1))
+    assert np.allclose(np.asarray(a["radiance"]), np.asarray(b["radiance"]),
+                       atol=1e-4)
+
+
 def test_scene_fast_path_matches_unpacked_render():
     """A packed scene must render the same as an unpacked one: discrete
     outcomes (samples, bounces) exactly, float state to float32 rounding

@@ -46,6 +46,8 @@ def sharded_scene(scene: Scene, mesh: Mesh,
                          if scene.transfer_packed is not None else None),
         transfer_banks=(jax.device_put(scene.transfer_banks, rep)
                         if scene.transfer_banks is not None else None),
+        transfer_mxu=(jax.device_put(scene.transfer_mxu, rep)
+                      if scene.transfer_mxu is not None else None),
         filter=scene.filter,
     )
 

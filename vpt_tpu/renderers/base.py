@@ -81,13 +81,14 @@ class Scene:
     volume_packed: Any = None         # (D·H·W, 8·C) or None
     transfer_packed: Any = None       # (TH·TW, 16) or None
     transfer_banks: Any = None        # (n_banks·4, 128) lane-shuffle table
+    transfer_mxu: Any = None          # (TW, 4) MXU one-hot lookup table
     filter: str = "linear"            # volume filter (static)
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
-                self.transfer_banks), self.filter
+                self.transfer_banks, self.transfer_mxu), self.filter
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -132,6 +133,11 @@ class Scene:
         when the lane-shuffle bank table is present (TPU), the lookup runs
         as a register-resident Pallas kernel (pallas/tf1d.py) instead of an
         HBM gather; results match the bilinear path exactly."""
+        if self.transfer_mxu is not None and self.volume.shape[-1] == 1:
+            from .. import sampling
+
+            value = self.sample_volume_rg(position)[..., 0]
+            return sampling.sample_transfer_1d_mxu(self.transfer_mxu, value)
         if (self.transfer_banks is not None
                 and self.volume.shape[-1] == 1
                 and position.ndim == 3):
@@ -174,7 +180,7 @@ class Scene:
 def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
                pack: Optional[bool] = None, pack_dtype=None,
-               tf_banks: bool = False) -> Scene:
+               tf_banks: bool = False, tf_mxu: bool = False) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -188,7 +194,13 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     single-channel sample_color runs the Pallas tf1d kernel.  The kernel is
     ~14× faster than the gather standalone, but embedding it inside the
     renderers' event loops inflates Mosaic compile time badly on remote-
-    compile toolchains, so it is opt-in."""
+    compile toolchains, so it is opt-in.
+    ``tf_mxu``: evaluate single-channel sample_color's TF lookup as a
+    one-hot matmul on the MXU instead of an HBM gather (plain XLA — no
+    Mosaic compile cost; ~2× the TF-gather speed inside event loops).
+    Lerp fractions quantize to the table dtype (bf16 ≈ the reference's
+    8-bit TF texture coordinates), so it is an opt-in fast path like
+    ``pack_dtype=bfloat16``."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -210,7 +222,10 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
             <= 256 ** 3
     if vol_filter != "linear":
         pack = False  # packed tables implement the linear filter only
-    volume_packed = transfer_packed = transfer_banks = None
+    volume_packed = transfer_packed = transfer_banks = transfer_mxu = None
+    if tf_mxu and volume.shape[-1] == 1:
+        transfer_mxu = sampling.pack_mxu_transfer(
+            transfer, pack_dtype if pack_dtype is not None else jnp.float32)
     if pack:
         volume_packed = sampling.pack_corner_volume(volume)
         transfer_packed = sampling.pack_corner_texture2d(transfer)
@@ -231,6 +246,7 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         volume_packed=volume_packed,
         transfer_packed=transfer_packed,
         transfer_banks=transfer_banks,
+        transfer_mxu=transfer_mxu,
         filter=vol_filter,
     )
 

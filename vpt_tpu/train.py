@@ -133,7 +133,8 @@ def fit_mc(target, scene_template, init_volume=None, init_tf=None,
             scene_template,
             volume=leaves.get("volume", scene_template.volume),
             transfer=leaves.get("tf", scene_template.transfer),
-            volume_packed=None, transfer_packed=None, transfer_banks=None)
+            volume_packed=None, transfer_packed=None, transfer_banks=None,
+            transfer_mxu=None)
         img = expected(sc, params, height, width, frames, seed0=seed0)
         pred = img[..., :3] if img.shape[-1] >= 3 else img
         return jnp.mean((pred - target[..., :3]) ** 2)
