@@ -202,3 +202,36 @@ def test_bucketed_train_step_decreases_loss(scene):
     l1, vol, opt_state = step(vol, opt_state)
     l2, vol, _ = step(vol, opt_state)
     assert float(l2) < float(l1)
+
+
+def test_dos_halo_sharding_matches_single_device(scene):
+    """DOS under row sharding with explicit per-slice occlusion halo
+    exchange equals the single-device sweep (the occlusion taps read
+    neighboring pixel rows — the one renderer needing a pixel halo)."""
+    from vpt_tpu.parallel import dos_halo
+    from vpt_tpu.renderers import dos
+
+    params = dos.Params(extinction=80.0, steps=30, slices=30, samples=4)
+    h = w = 64
+
+    state1 = dos.reset(params, h, w, scene)
+    state1 = jax.jit(dos.render_frame)(state1, scene, params,
+                                       jnp.float32(0.0), jnp.int32(1))
+
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc = sharded_scene(scene, mesh)
+    frame_fn, halo = dos_halo.sharded_render_frame(
+        mesh, sc, params, h, w, donate=False)
+    assert 1 <= halo < h // 8
+    state8 = place_state(dos.reset(params, h, w, sc), mesh)
+    state8 = frame_fn(state8, sc, params, jnp.float32(0.0), jnp.int32(1))
+
+    for key in state1:
+        a, b = np.asarray(state1[key]), np.asarray(state8[key])
+        assert np.allclose(a, b, atol=1e-6), key
+    # a second frame continues the sweep from carried depth
+    state1b = jax.jit(dos.render_frame)(state1, scene, params,
+                                        jnp.float32(0.0), jnp.int32(2))
+    state8b = frame_fn(state8, sc, params, jnp.float32(0.0), jnp.int32(2))
+    assert np.allclose(np.asarray(state1b["color"]),
+                       np.asarray(state8b["color"]), atol=1e-6)

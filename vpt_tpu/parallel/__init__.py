@@ -2,3 +2,4 @@ from .mesh import make_mesh, pixel_sharding, replicated  # noqa: F401
 from .shard import (  # noqa: F401
     shard_render_frame, sharded_scene, volume_sharding,
 )
+from . import dos_halo  # noqa: F401

@@ -77,9 +77,19 @@ def reset(params: Params, height: int, width: int, scene: Scene = None):
     }
 
 
-def render_frame(state, scene: Scene, params: Params, seed, frame_number):
+def render_frame(state, scene: Scene, params: Params, seed, frame_number,
+                 *, ndc=None, sample_occlusion=None):
+    """``ndc`` / ``sample_occlusion`` are sharding hooks: a spatially
+    sharded caller passes this device's global pixel NDC block and a
+    halo-aware tap sampler (parallel/dos_halo.py); defaults reproduce the
+    single-device behavior."""
     height, width = state["color"].shape[:2]
-    ndc = sampling.pixel_ndc(height, width)
+    if ndc is None:
+        ndc = sampling.pixel_ndc(height, width)
+    if sample_occlusion is None:
+        def sample_occlusion(occlusion, taps):
+            return sampling.sample_texture2d(occlusion[..., None],
+                                             taps)[..., 0]
     mapped = ndc * 0.5 + 0.5
     slice_distance = state["slice_distance"]
     occlusion_extent = slice_distance * jnp.tan(
@@ -116,8 +126,8 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
         # times the slice transmittance (DOS glsl:56-64)
         taps = mapped[None] + state["offsets"][:, None, None, :] \
             * occlusion_scale
-        gathered = sampling.sample_texture2d(occlusion[..., None], taps)
-        new_occlusion = jnp.mean(gathered[..., 0], axis=0) \
+        gathered = sample_occlusion(occlusion, taps)
+        new_occlusion = jnp.mean(gathered, axis=0) \
             * jnp.exp(-extinction * slice_distance)
 
         write = active & ~outside
