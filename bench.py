@@ -18,9 +18,32 @@ import jax
 import jax.numpy as jnp
 
 
+def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
+    """Tiny matmul with bounded retry: the tunneled TPU backend sometimes
+    stalls for long stretches — probe before timing so a hung tunnel fails
+    fast (and loudly) instead of polluting the measurement."""
+    import numpy as np
+
+    for attempt in range(retries):
+        try:
+            x = jnp.ones((128, 128), jnp.float32)
+            val = float(np.asarray((x @ x)[0, 0]))
+            assert val == 128.0, val
+            return
+        except Exception as exc:  # noqa: BLE001 - backend errors vary
+            if attempt == retries - 1:
+                raise RuntimeError(
+                    f"backend probe failed after {retries} tries") from exc
+            print(f"# backend probe attempt {attempt + 1} failed "
+                  f"({exc}); retrying in {delay_s:.0f}s", file=sys.stderr)
+            time.sleep(delay_s)
+
+
 def main():
     from vpt_tpu import transfer, volume
     from vpt_tpu.renderers import make_scene, mcm
+
+    probe_backend()
 
     height = width = 512
     steps = 8

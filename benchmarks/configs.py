@@ -1,0 +1,75 @@
+"""MCM throughput across the BASELINE.md milestone config sizes.
+
+Sweeps image resolution × volume size × events-per-frame on one chip and
+prints one JSON line per config — the single-chip complement of
+``benchmarks/scaling.py`` (BASELINE configs 2–4 are 256³ volumes and
+1024² images; ``bench.py`` pins the 512²/128³ headline).
+
+Usage: python benchmarks/configs.py [--frames 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_config(res: int, vol_n: int, steps: int, frames: int) -> dict:
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import make_scene, mcm
+
+    vol = volume.sphere_volume(vol_n)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
+    params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
+    state = mcm.reset(params, res, res, scene)
+    frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
+
+    def sync(s):
+        return np.asarray(s["samples"][:1, :1])
+
+    state = frame_fn(state, scene, params, jnp.float32(0.1), jnp.int32(1))
+    sync(state)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        state = frame_fn(state, scene, params,
+                         jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
+    sync(state)
+    dt = time.perf_counter() - t0
+    events = res * res * steps * frames
+    return {
+        "metric": "mcm_events_per_s",
+        "config": f"{res}x{res}/{vol_n}^3/steps{steps}",
+        "value": round(events / dt),
+        "unit": "events/s",
+        "ms_per_frame": round(dt / frames * 1e3, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20)
+    args = ap.parse_args()
+
+    from bench import probe_backend  # noqa: F401  (repo root on sys.path)
+
+    probe_backend()
+    configs = [
+        (512, 128, 8),      # bench.py headline
+        (512, 128, 32),     # deeper event budget per jit step
+        (1024, 128, 8),     # BASELINE config-4 image size
+        (512, 256, 8),      # BASELINE config-2/3 volume size
+        (1024, 256, 8),
+    ]
+    for res, vol_n, steps in configs:
+        print(json.dumps(bench_config(res, vol_n, steps, args.frames)),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,23 @@ def test_viewer_pose_change_keeps_renderer():
     q3 = dict(q2, extinction=["55"])
     server._apply_query(q3)
     assert ctx.renderer is not r1      # config change: rebuilt
+
+
+def test_photon_stats_telemetry():
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import make_scene, mcm
+    from vpt_tpu.runtime.profiler import photon_stats
+
+    scene = make_scene(volume.sphere_volume(16),
+                       transfer.gray_ramp(alpha_scale=0.8))
+    params = mcm.Params(extinction=30.0, steps=8)
+    state = mcm.reset(params, 16, 16, scene)
+    for i in range(3):
+        state = mcm.render_frame(state, scene, params,
+                                 jnp.float32(0.1 * i), jnp.int32(i + 1))
+    stats = photon_stats(state)
+    assert sum(stats["bounce_histogram"]) == 16 * 16
+    assert stats["samples_per_pixel"]["max"] >= \
+        stats["samples_per_pixel"]["min"] >= 0.0
+    assert 0.0 <= stats["mean_transmittance"]
+    assert stats["mean_bounces"] >= 0.0

@@ -60,3 +60,29 @@ class RenderProfiler:
             lines.append(
                 f"throughput: {self.events_per_second():.3e} events/s")
         return "\n".join(lines)
+
+
+def photon_stats(state, max_bounces: int = 16) -> dict:
+    """MCM photon-state telemetry: in-flight bounce-depth histogram,
+    samples-per-pixel statistics, and transmittance/radiance means.
+
+    One device→host sync per call — intended for periodic logging, not the
+    hot loop.  ``state`` is an MCM accumulation pytree (renderers/mcm.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    bounces = jnp.clip(state["bounces"].astype(jnp.int32), 0, max_bounces)
+    hist = jnp.bincount(bounces.ravel(), length=max_bounces + 1)
+    samples = state["samples"]
+    stats = {
+        "bounce_histogram": np.asarray(hist).tolist(),
+        "mean_bounces": float(jnp.mean(state["bounces"])),
+        "samples_per_pixel": {
+            "mean": float(jnp.mean(samples)),
+            "min": float(jnp.min(samples)),
+            "max": float(jnp.max(samples)),
+        },
+        "mean_transmittance": float(jnp.mean(state["transmittance"])),
+        "mean_radiance": float(jnp.mean(state["radiance"])),
+    }
+    return stats
