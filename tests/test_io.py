@@ -110,3 +110,26 @@ def test_png_roundtrip(tmp_path):
     assert back.shape == (16, 16, 4)
     assert np.allclose(back[..., :3], np.clip(img[..., :3], 0, 1),
                        atol=1 / 255 + 1e-3)
+
+
+def test_bvp_multi_modality(tmp_path):
+    from vpt_tpu.io.readers import list_modalities
+
+    ct = vol_mod.sphere_volume(8)
+    pet = vol_mod.blobs_volume(8, seed=5)
+    path = tmp_path / "multi.bvp"
+    write_bvp(path, {"ct": ct, "pet": pet})
+
+    reader = BVPReader(str(path))
+    names = [m["name"] for m in list_modalities(reader)]
+    assert names == ["ct", "pet"]
+
+    got_ct = load_volume(reader, modality="ct")
+    got_pet = load_volume(reader, modality="pet")
+    assert np.allclose(np.asarray(got_ct.data), np.asarray(ct.data),
+                       atol=1 / 255)
+    assert np.allclose(np.asarray(got_pet.data), np.asarray(pet.data),
+                       atol=1 / 255)
+
+    with pytest.raises(ValueError, match="'mri' does not exist"):
+        load_volume(reader, modality="mri")

@@ -65,7 +65,8 @@ def _load_volume(args):
     if spec.startswith("blobs:"):
         return vol_mod.blobs_volume(int(spec.split(":")[1]))
     if spec.endswith(".bvp") or spec.endswith(".zip"):
-        return readers.load_volume(readers.BVPReader(spec))
+        return readers.load_volume(readers.BVPReader(spec),
+                                   modality=args.modality)
     if spec.endswith(".raw"):
         if not args.raw_dims:
             raise SystemExit("--raw-dims WIDTH,HEIGHT,DEPTH required "
@@ -132,6 +133,9 @@ def _add_common_args(p):
 
     p.add_argument("--volume", required=True,
                    help="sphere:N | shell:N | blobs:N | file.raw | file.bvp")
+    p.add_argument("--modality", default="default",
+                   help="modality name inside a BVP archive "
+                        "(list with: vpt_tpu info --volume FILE)")
     p.add_argument("--raw-dims", help="W,H,D for raw volumes")
     p.add_argument("--raw-type", default="uint8",
                    choices=["uint8", "uint16", "float32"])
@@ -253,6 +257,17 @@ def cmd_info(args):
     from .renderers import factory
     from .tonemap import TONE_MAPPERS
 
+    if getattr(args, "volume", None):
+        from .io import readers
+
+        mods = readers.list_modalities(readers.BVPReader(args.volume))
+        print(f"modalities in {args.volume}:")
+        for m in mods:
+            dims = m["dimensions"]
+            print(f"  {m['name']:16s} {dims['width']}x{dims['height']}"
+                  f"x{dims['depth']}  format={m['format']} type={m['type']}")
+        return
+
     print("renderers:")
     for key, module in sorted(factory.MODULES.items()):
         fields = ", ".join(
@@ -312,7 +327,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=3000)
     p.set_defaults(func=cmd_serve)
 
-    p = sub.add_parser("info", help="list renderers and parameters")
+    p = sub.add_parser("info", help="list renderers and parameters, or "
+                                    "the modalities of a BVP archive")
+    p.add_argument("--volume", help="BVP archive to inspect")
     p.set_defaults(func=cmd_info)
 
     args = parser.parse_args(argv)

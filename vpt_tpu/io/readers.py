@@ -104,6 +104,17 @@ def _normalize(arr: np.ndarray, dtype) -> np.ndarray:
     return arr
 
 
+def list_modalities(reader: AbstractReader) -> list:
+    """Names + dimensions of every modality in the archive (a BVP file may
+    carry several — e.g. registered CT + PET series)."""
+    return [{
+        "name": m["name"],
+        "dimensions": m["dimensions"],
+        "format": m.get("format", 6403),
+        "type": m.get("type", 5121),
+    } for m in reader.read_metadata()["modalities"]]
+
+
 def load_volume(reader: AbstractReader, modality: str = "default",
                 progress: Optional[Callable[[float], None]] = None,
                 filter: str = "linear") -> Volume:
@@ -111,7 +122,9 @@ def load_volume(reader: AbstractReader, modality: str = "default",
     meta = reader.read_metadata()
     mods = [m for m in meta["modalities"] if m["name"] == modality]
     if not mods:
-        raise ValueError(f"modality {modality!r} does not exist")
+        names = [m["name"] for m in meta["modalities"]]
+        raise ValueError(
+            f"modality {modality!r} does not exist; archive has {names}")
     mod = mods[0]
     dims = mod["dimensions"]
     w, h, d = dims["width"], dims["height"], dims["depth"]
@@ -138,30 +151,37 @@ def load_volume(reader: AbstractReader, modality: str = "default",
     return Volume(jnp.asarray(data), filter)
 
 
-def write_bvp(path, volume: Volume, name: str = "default"):
-    """Write a volume as a BVP archive (manifest.json + one block),
-    compatible with this reader and the reference's format."""
+def write_bvp(path, volume, name: str = "default"):
+    """Write one or more volumes as a BVP archive (manifest.json + one
+    block per modality), compatible with this reader and the reference's
+    format.  ``volume`` may be a single Volume (stored under ``name``) or a
+    ``{name: Volume}`` dict for a multi-modality archive (e.g. registered
+    CT + PET series)."""
     import zipfile
 
-    data = np.asarray(volume.data)
-    d, h, w, c = data.shape
-    blob = (np.clip(data, 0, 1) * 255).astype(np.uint8).tobytes()
-    manifest = {
-        "meta": {"version": 1},
-        "modalities": [{
-            "name": name,
+    modalities = volume if isinstance(volume, dict) else {name: volume}
+    manifest = {"meta": {"version": 1}, "modalities": [], "blocks": []}
+    blobs = {}
+    for index, (mod_name, mod_volume) in enumerate(modalities.items()):
+        data = np.asarray(mod_volume.data)
+        d, h, w, c = data.shape
+        url = f"block{index}.raw"
+        blobs[url] = (np.clip(data, 0, 1) * 255).astype(np.uint8).tobytes()
+        manifest["modalities"].append({
+            "name": mod_name,
             "dimensions": {"width": w, "height": h, "depth": d},
             "transform": {"matrix": [1, 0, 0, 0, 0, 1, 0, 0,
                                      0, 0, 1, 0, 0, 0, 0, 1]},
             "format": {1: 6403, 2: 33319, 3: 6407, 4: 6408}[c],
             "internalFormat": 33321,
             "type": 5121,
-            "placements": [{"index": 0,
+            "placements": [{"index": index,
                             "position": {"x": 0, "y": 0, "z": 0}}],
-        }],
-        "blocks": [{"url": "block0.raw", "format": "raw",
-                    "dimensions": {"width": w, "height": h, "depth": d}}],
-    }
+        })
+        manifest["blocks"].append(
+            {"url": url, "format": "raw",
+             "dimensions": {"width": w, "height": h, "depth": d}})
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
         zf.writestr("manifest.json", json.dumps(manifest))
-        zf.writestr("block0.raw", blob)
+        for url, blob in blobs.items():
+            zf.writestr(url, blob)
