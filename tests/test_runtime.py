@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vpt_tpu import transfer, volume
@@ -180,3 +181,45 @@ def test_photon_stats_telemetry():
         stats["samples_per_pixel"]["min"] >= 0.0
     assert 0.0 <= stats["mean_transmittance"]
     assert stats["mean_bounces"] >= 0.0
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded orbax checkpoint restores bit-identically onto the mesh and
+    resumes to the same pixels as the uninterrupted render."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.parallel import make_mesh, sharded_scene
+    from vpt_tpu.parallel.shard import place_state, shard_render_frame
+    from vpt_tpu.renderers import make_scene, mcm
+    from vpt_tpu.runtime import checkpoint
+
+    scene = make_scene(volume.sphere_volume(16),
+                       transfer.gray_ramp(alpha_scale=0.8))
+    params = mcm.Params(extinction=20.0, steps=4)
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc = sharded_scene(scene, mesh)
+    state = place_state(mcm.reset(params, 16, 16, sc), mesh)
+    frame_fn = shard_render_frame(mcm, mesh, state, donate=False)
+    state = frame_fn(state, sc, params, jnp.float32(0.3), jnp.int32(1))
+
+    checkpoint.save_sharded(tmp_path / "ckpt", "mcm", state, 1,
+                            params=params)
+    example = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        state)
+    key, restored, frame, meta = checkpoint.load_sharded(
+        tmp_path / "ckpt", example)
+    assert key == "mcm" and frame == 1
+    assert meta["params"]["steps"] == 4
+    for k in state:
+        assert restored[k].sharding == state[k].sharding, k
+        assert np.array_equal(np.asarray(restored[k]),
+                              np.asarray(state[k])), k
+
+    # resumed frame == uninterrupted frame
+    cont = frame_fn(state, sc, params, jnp.float32(0.5), jnp.int32(2))
+    res = frame_fn(restored, sc, params, jnp.float32(0.5), jnp.int32(2))
+    assert np.array_equal(np.asarray(cont["radiance"]),
+                          np.asarray(res["radiance"]))

@@ -66,6 +66,63 @@ def load(path, state_example=None):
     return meta["renderer"], state, meta["frame_number"], meta
 
 
+def save_sharded(directory, renderer_key: str, state, frame_number: int,
+                 params=None, extra: dict = None, wait: bool = True):
+    """Orbax checkpoint of a (possibly device-sharded) render state.
+
+    The npz path above is the simple single-host format; this one handles
+    multi-host sharded ``jax.Array`` states with async I/O — each host
+    writes only its shards, and ``wait=False`` returns while the write
+    completes in the background (call the returned checkpointer's
+    ``wait_until_finished`` before exiting)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    meta = {
+        "renderer": renderer_key,
+        "frame_number": int(frame_number),
+        "extra": extra or {},
+    }
+    if params is not None:
+        meta["params"] = {
+            f.name: (getattr(params, f.name)
+                     if not hasattr(getattr(params, f.name), "tolist")
+                     else np.asarray(getattr(params, f.name)).tolist())
+            for f in dataclasses.fields(params)
+        }
+    ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+    ckptr.save(
+        directory,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            meta=ocp.args.JsonSave(meta),
+        ),
+        force=True,
+    )
+    if wait:
+        ckptr.wait_until_finished()
+    return ckptr
+
+
+def load_sharded(directory, state_example=None):
+    """Restore an orbax checkpoint → (renderer_key, state, frame_number,
+    meta).  ``state_example`` (a pytree of arrays or ShapeDtypeStruct with
+    shardings attached) restores each leaf directly onto its devices; if
+    omitted, leaves load replicated on the default device."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    ckptr = ocp.Checkpointer(ocp.CompositeCheckpointHandler())
+    restore_args = ocp.args.Composite(
+        state=(ocp.args.StandardRestore(state_example)
+               if state_example is not None else ocp.args.StandardRestore()),
+        meta=ocp.args.JsonRestore(),
+    )
+    out = ckptr.restore(directory, args=restore_args)
+    meta = out["meta"]
+    return meta["renderer"], out["state"], meta["frame_number"], meta
+
+
 def resume_renderer(path, height: int = None, width: int = None):
     """Rebuild a Renderer from a checkpoint (factory + params + state)."""
     from ..renderers import factory
