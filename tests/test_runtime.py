@@ -223,3 +223,41 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     res = frame_fn(restored, sc, params, jnp.float32(0.5), jnp.int32(2))
     assert np.array_equal(np.asarray(cont["radiance"]),
                           np.asarray(res["radiance"]))
+
+
+def test_viewer_tf_editor_endpoints():
+    """TF editor round trip: POST widget-JSON bumps -> rasterized texture
+    swaps in (and resets accumulation); GET /tf echoes them back; tf.png
+    and histogram serve the editor chrome."""
+    import json as json_mod
+    import urllib.request
+
+    from vpt_tpu.runtime.viewer import ViewerServer
+
+    ctx = make_ctx("mip", resolution=24)
+    before = np.asarray(ctx.transfer_texture).copy()
+    server = ViewerServer(ctx, port=0)
+    port = server.serve_background()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert json_mod.loads(
+            urllib.request.urlopen(f"{base}/tf").read()) == []
+        bumps = [{"position": {"x": 0.3, "y": 0.5},
+                  "size": {"x": 0.25, "y": 0.2},
+                  "color": {"r": 0.2, "g": 0.9, "b": 0.4, "a": 0.8}}]
+        req = urllib.request.Request(
+            f"{base}/tf", data=json_mod.dumps(bumps).encode(),
+            method="POST")
+        assert json_mod.loads(urllib.request.urlopen(req).read())["ok"]
+        echoed = json_mod.loads(urllib.request.urlopen(f"{base}/tf").read())
+        assert len(echoed) == 1
+        assert abs(echoed[0]["position"]["x"] - 0.3) < 1e-6
+        assert not np.array_equal(before, np.asarray(ctx.transfer_texture))
+
+        png = urllib.request.urlopen(f"{base}/tf.png").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        hist = json_mod.loads(
+            urllib.request.urlopen(f"{base}/histogram").read())
+        assert len(hist) == 96 and max(hist) == 1.0
+    finally:
+        server.shutdown()

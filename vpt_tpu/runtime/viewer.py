@@ -7,11 +7,22 @@ renderer/tone mapper, and streams progressively refined frames.  Camera
 motion resets accumulation exactly like the reference's Transform change
 events (RenderingContext.js:42-46).
 
+The transfer-function editor reproduces the reference's hallmark widget
+(``src/js/ui/TransferFunction/TransferFunction.js``): Gaussian bumps dragged
+on a 2D canvas (x = volume value, y = second TF axis), rasterized with the
+same ``color·exp(-r²)`` additive blend server-side (transfer.rasterize), and
+(de)serialized in the widget's JSON format.  A volume-value histogram is
+drawn behind the bumps to guide placement.
+
 Endpoints:
   GET /                 — the viewer page
   GET /frame?yaw=&pitch=&distance=&spp=&renderer=&tonemap=&extinction=
                         — advance the progressive render, return PNG
   GET /info             — renderer/tone-mapper lists + current state
+  GET /tf               — current TF bumps (widget JSON list)
+  POST /tf              — replace TF bumps (widget JSON list body)
+  GET /tf.png           — rasterized TF texture preview
+  GET /histogram        — volume value histogram (TF editor backdrop)
 """
 
 from __future__ import annotations
@@ -41,6 +52,22 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
   <label>Tone mapper</label><select id="tonemap"></select>
   <label>Extinction</label><input id="extinction" type="number" value="20">
   <label>Samples / request</label><input id="spp" type="number" value="4">
+  <label>Transfer function</label>
+  <canvas id="tfedit" width="196" height="110"
+          style="border:1px solid #444; background:#000; touch-action:none">
+  </canvas>
+  <div style="display:flex; gap:4px; margin:4px 0 0">
+    <input id="tfcolor" type="color" value="#ff0000" style="flex:1; padding:0">
+    <input id="tfalpha" type="range" min="0" max="1" step="0.01" value="1"
+           style="flex:2">
+  </div>
+  <div style="display:flex; gap:4px; margin:4px 0 10px">
+    <button id="tfadd">add</button><button id="tfdel">del</button>
+    <button id="tfsave">save</button>
+    <button id="tfload">load</button>
+    <input id="tffile" type="file" accept=".json" style="display:none">
+  </div>
+  <div style="color:#666">drag bump · wheel resizes · dblclick adds</div>
   <div id="stats"></div>
 </div>
 <script>
@@ -63,6 +90,120 @@ for (const id of ['renderer', 'tonemap', 'extinction'])
   document.getElementById(id).addEventListener('change',
     () => { epoch++; frames = 0; });
 
+// ---- transfer-function editor (widget parity) ----
+const tfc = document.getElementById('tfedit'), tctx = tfc.getContext('2d');
+let bumps = [], selected = -1, tfImg = new Image(), hist = [],
+    tfTimer = null, tfDragging = false;
+const toPx = b => [b.position.x * tfc.width, (1 - b.position.y) * tfc.height];
+
+function drawTF() {
+  tctx.clearRect(0, 0, tfc.width, tfc.height);
+  if (tfImg.complete && tfImg.naturalWidth)
+    tctx.drawImage(tfImg, 0, 0, tfc.width, tfc.height);
+  tctx.strokeStyle = '#555'; tctx.beginPath();
+  hist.forEach((v, i) => {
+    const x = (i + 0.5) / hist.length * tfc.width,
+          y = tfc.height * (1 - v * 0.9);
+    i ? tctx.lineTo(x, y) : tctx.moveTo(x, y);
+  });
+  tctx.stroke();
+  bumps.forEach((b, i) => {
+    const [x, y] = toPx(b);
+    tctx.beginPath(); tctx.arc(x, y, 6, 0, 7);
+    tctx.strokeStyle = i === selected ? '#fff' : '#888';
+    tctx.lineWidth = i === selected ? 2 : 1;
+    tctx.stroke();
+  });
+}
+function pushTF() {
+  clearTimeout(tfTimer);
+  tfTimer = setTimeout(async () => {
+    await fetch('tf', {method: 'POST', body: JSON.stringify(bumps)});
+    tfImg = new Image();
+    tfImg.onload = drawTF;
+    tfImg.src = 'tf.png?' + Date.now();
+    epoch++; frames = 0;
+  }, 150);
+  drawTF();
+}
+function pickBump(e) {
+  const r = tfc.getBoundingClientRect(),
+        mx = e.clientX - r.left, my = e.clientY - r.top;
+  let best = -1, bd = 144;
+  bumps.forEach((b, i) => {
+    const [x, y] = toPx(b), d = (x - mx) ** 2 + (y - my) ** 2;
+    if (d < bd) { bd = d; best = i; }
+  });
+  return [best, mx / tfc.width, 1 - my / tfc.height];
+}
+function syncSelected() {
+  if (selected < 0) return;
+  const c = bumps[selected].color,
+        hx = v => Math.round(v * 255).toString(16).padStart(2, '0');
+  document.getElementById('tfcolor').value = '#' + hx(c.r) + hx(c.g) + hx(c.b);
+  document.getElementById('tfalpha').value = c.a;
+}
+tfc.addEventListener('pointerdown', e => {
+  const [i] = pickBump(e);
+  selected = i; syncSelected();
+  if (i >= 0) { tfDragging = true; tfc.setPointerCapture(e.pointerId); }
+  drawTF();
+});
+tfc.addEventListener('pointermove', e => {
+  if (!tfDragging || selected < 0) return;
+  const [, u, v] = pickBump(e);
+  bumps[selected].position = {x: Math.min(1, Math.max(0, u)),
+                              y: Math.min(1, Math.max(0, v))};
+  pushTF();
+});
+tfc.addEventListener('pointerup', () => tfDragging = false);
+tfc.addEventListener('dblclick', e => {
+  const [, u, v] = pickBump(e);
+  bumps.push({position: {x: u, y: v}, size: {x: 0.2, y: 0.2},
+              color: {r: 1, g: 0, b: 0, a: 1}});
+  selected = bumps.length - 1; syncSelected(); pushTF();
+});
+tfc.addEventListener('wheel', e => {
+  e.preventDefault();
+  if (selected < 0) return;
+  const s = Math.exp(-e.deltaY * 0.001), b = bumps[selected];
+  b.size = {x: b.size.x * s, y: b.size.y * s};
+  pushTF();
+});
+document.getElementById('tfadd').onclick = () => {
+  bumps.push({position: {x: 0.5, y: 0.5}, size: {x: 0.2, y: 0.2},
+              color: {r: 1, g: 0, b: 0, a: 1}});
+  selected = bumps.length - 1; syncSelected(); pushTF();
+};
+document.getElementById('tfdel').onclick = () => {
+  if (selected >= 0) { bumps.splice(selected, 1); selected = -1; pushTF(); }
+};
+document.getElementById('tfsave').onclick = () => {
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(new Blob([JSON.stringify(bumps)],
+                                        {type: 'application/json'}));
+  a.download = 'transfer-function.json'; a.click();
+};
+document.getElementById('tfload').onclick =
+  () => document.getElementById('tffile').click();
+document.getElementById('tffile').addEventListener('change', async e => {
+  if (e.target.files[0]) {
+    bumps = JSON.parse(await e.target.files[0].text());
+    selected = -1; pushTF();
+  }
+});
+for (const id of ['tfcolor', 'tfalpha'])
+  document.getElementById(id).addEventListener('input', () => {
+    if (selected < 0) return;
+    const hex = document.getElementById('tfcolor').value;
+    bumps[selected].color = {
+      r: parseInt(hex.slice(1, 3), 16) / 255,
+      g: parseInt(hex.slice(3, 5), 16) / 255,
+      b: parseInt(hex.slice(5, 7), 16) / 255,
+      a: parseFloat(document.getElementById('tfalpha').value)};
+    pushTF();
+  });
+
 async function init() {
   const info = await (await fetch('info')).json();
   for (const [id, list, def] of [["renderer", info.renderers, info.renderer],
@@ -75,6 +216,11 @@ async function init() {
       sel.appendChild(o);
     }
   }
+  bumps = await (await fetch('tf')).json();
+  hist = await (await fetch('histogram')).json();
+  tfImg.onload = drawTF;
+  tfImg.src = 'tf.png?' + Date.now();
+  drawTF();
   loop();
 }
 async function loop() {
@@ -125,6 +271,7 @@ class ViewerServer:
         self.host, self.port = host, port
         self._pose = None
         self._server = None
+        self.bumps = None  # TransferFunctionBumps once the editor touches it
 
     # -- request handling --------------------------------------------------
     def _apply_query(self, q):
@@ -172,6 +319,42 @@ class ViewerServer:
         Image.fromarray(arr).save(buf, "PNG")
         return buf.getvalue()
 
+    # -- transfer-function editor -----------------------------------------
+    def _tf_list(self) -> bytes:
+        return json.dumps(self.bumps.to_list()
+                          if self.bumps is not None else []).encode()
+
+    def _tf_set(self, body: bytes) -> bytes:
+        from .. import transfer
+
+        bumps = transfer.TransferFunctionBumps.from_list(json.loads(body))
+        with self.lock:
+            self.bumps = bumps
+            self.ctx.set_transfer_function(transfer.rasterize(bumps))
+        return b'{"ok": true}'
+
+    def _tf_png(self) -> bytes:
+        from PIL import Image
+
+        with self.lock:
+            tex = np.asarray(self.ctx.transfer_texture)
+        rgba = (np.clip(tex[::-1], 0.0, 1.0) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgba, "RGBA").save(buf, "PNG")
+        return buf.getvalue()
+
+    def _histogram(self, bins: int = 96) -> bytes:
+        vol = getattr(self.ctx, "volume", None)
+        if vol is None:
+            return b"[]"
+        counts, _ = np.histogram(np.asarray(vol.data[..., 0]).ravel(),
+                                 bins=bins, range=(0.0, 1.0))
+        # log scale reads better for mostly-empty volumes
+        counts = np.log1p(counts.astype(np.float64))
+        peak = counts.max() or 1.0
+        return json.dumps([round(float(c / peak), 4)
+                           for c in counts]).encode()
+
     def _info(self) -> bytes:
         from ..renderers import factory
         from ..tonemap import TONE_MAPPERS
@@ -202,6 +385,12 @@ class ViewerServer:
                         body, ctype = viewer._render_png(q), "image/png"
                     elif parsed.path == "/info":
                         body, ctype = viewer._info(), "application/json"
+                    elif parsed.path == "/tf":
+                        body, ctype = viewer._tf_list(), "application/json"
+                    elif parsed.path == "/tf.png":
+                        body, ctype = viewer._tf_png(), "image/png"
+                    elif parsed.path == "/histogram":
+                        body, ctype = viewer._histogram(), "application/json"
                     else:
                         self.send_error(404)
                         return
@@ -212,6 +401,23 @@ class ViewerServer:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                parsed = urllib.parse.urlparse(self.path)
+                if parsed.path != "/tf":
+                    self.send_error(404)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = viewer._tf_set(self.rfile.read(length))
+                except Exception as e:
+                    self.send_error(400, str(e)[:200])
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
