@@ -255,3 +255,16 @@ def test_scene_fast_path_matches_unpacked_render():
     for k in ("position", "direction", "transmittance", "radiance"):
         assert np.allclose(np.asarray(f[k]), np.asarray(s[k]),
                            atol=1e-6), k
+
+
+def test_make_scene_tf_srgb_applies_gl_semantics():
+    from vpt_tpu import transfer as tf_mod
+    from vpt_tpu.renderers import make_scene
+    v = vol.sphere_volume(8)
+    tf = tf_mod.gray_ramp(alpha_scale=1.0)
+    sc = make_scene(v, tf, tf_srgb=True, pack=False)
+    expect = np.asarray(tf_mod.to_gl_texture(tf, srgb=True, quantize=True))
+    assert np.allclose(np.asarray(sc.transfer), expect)
+    # alpha stays linear (only quantized); colors are decoded (smaller)
+    assert np.all(np.asarray(sc.transfer[..., :3])
+                  <= np.asarray(sc.transfer[..., 3:4]) + 1e-6)

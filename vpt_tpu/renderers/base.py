@@ -180,7 +180,8 @@ class Scene:
 def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
                pack: Optional[bool] = None, pack_dtype=None,
-               tf_banks: bool = False, tf_mxu: bool = False) -> Scene:
+               tf_banks: bool = False, tf_mxu: bool = False,
+               tf_srgb: bool = False) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -200,7 +201,13 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     Mosaic compile cost; ~2× the TF-gather speed inside event loops).
     Lerp fractions quantize to the table dtype (bf16 ≈ the reference's
     8-bit TF texture coordinates), so it is an opt-in fast path like
-    ``pack_dtype=bfloat16``."""
+    ``pack_dtype=bfloat16``.
+    ``tf_srgb``: run the TF through the reference's SRGB8_ALPHA8 texture
+    semantics (8-bit quantize + sRGB→linear decode of the color channels,
+    ``transfer.to_gl_texture``) before sampling.  Off by default — this
+    framework treats authored TF colors as linear HDR, which keeps
+    ``pack=False`` scenes an exact float32 oracle; enable it to match the
+    reference's GL pipeline pixel for pixel."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -217,6 +224,10 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         environment = envmod.white()
     volume = jnp.asarray(volume, jnp.float32)
     transfer = jnp.asarray(transfer, jnp.float32)
+    if tf_srgb:
+        from ..transfer import to_gl_texture
+
+        transfer = to_gl_texture(transfer, srgb=True, quantize=True)
     if pack is None:
         pack = volume.shape[0] * volume.shape[1] * volume.shape[2] \
             <= 256 ** 3
