@@ -261,3 +261,19 @@ def test_viewer_tf_editor_endpoints():
         assert len(hist) == 96 and max(hist) == 1.0
     finally:
         server.shutdown()
+
+
+def test_viewer_resolution_and_filter_controls():
+    from vpt_tpu.runtime.viewer import ViewerServer
+
+    ctx = make_ctx("mip", resolution=24)
+    server = ViewerServer(ctx, port=0)
+    q = {"yaw": ["0.1"], "pitch": ["0.0"], "renderer": ["mip"],
+         "tonemap": ["reinhard"], "extinction": ["20"],
+         "resolution": ["32"], "filter": ["nearest"], "reset": ["1"]}
+    server._apply_query(q)
+    assert ctx.resolution == 32
+    assert ctx.filter == "nearest"
+    assert ctx.renderer.height == 32
+    img = ctx.render(frames=1) or ctx.get_display_image()
+    assert np.asarray(ctx.get_display_image()).shape[0] == 32

@@ -52,6 +52,14 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
   <label>Tone mapper</label><select id="tonemap"></select>
   <label>Extinction</label><input id="extinction" type="number" value="20">
   <label>Samples / request</label><input id="spp" type="number" value="4">
+  <label>Resolution</label>
+  <select id="resolution">
+    <option>128</option><option>256</option><option selected>512</option>
+    <option>1024</option>
+  </select>
+  <label>Volume filter</label>
+  <select id="filter"><option selected>linear</option><option>nearest</option>
+  </select>
   <label>Transfer function</label>
   <canvas id="tfedit" width="196" height="110"
           style="border:1px solid #444; background:#000; touch-action:none">
@@ -86,9 +94,12 @@ img.addEventListener('pointermove', e => {
 img.addEventListener('wheel', e => {
   e.preventDefault();
   distance *= Math.exp(e.deltaY * 0.001); epoch++; frames = 0; });
-for (const id of ['renderer', 'tonemap', 'extinction'])
+for (const id of ['renderer', 'tonemap', 'extinction', 'resolution',
+                  'filter'])
   document.getElementById(id).addEventListener('change',
     () => { epoch++; frames = 0; });
+document.getElementById('resolution').addEventListener('change', e => {
+  img.width = img.height = parseInt(e.target.value); });
 
 // ---- transfer-function editor (widget parity) ----
 const tfc = document.getElementById('tfedit'), tctx = tfc.getContext('2d');
@@ -232,6 +243,8 @@ async function loop() {
     renderer: document.getElementById('renderer').value,
     tonemap: document.getElementById('tonemap').value,
     extinction: document.getElementById('extinction').value,
+    resolution: document.getElementById('resolution').value,
+    filter: document.getElementById('filter').value,
     spp: document.getElementById('spp').value,
     reset: frames === 0 ? '1' : '0',
   });
@@ -284,13 +297,20 @@ class ViewerServer:
         renderer = q.get("renderer", [ctx.renderer_key or "mcm"])[0]
         tonemap = q.get("tonemap", [ctx.tone_mapper.name])[0]
         extinction = float(q.get("extinction", ["20"])[0])
+        resolution = int(q.get("resolution", [str(ctx.resolution)])[0])
+        vol_filter = q.get("filter", [ctx.filter])[0]
         reset = q.get("reset", ["0"])[0] == "1"
 
-        config = (renderer, tonemap, extinction)
+        config = (renderer, tonemap, extinction, resolution, vol_filter)
         pose = (yaw, pitch, distance)
         if config != getattr(self, "_config", None) or ctx.renderer is None:
-            # renderer/tonemap/extinction change: rebuild (recompiles)
+            # renderer/tonemap/extinction/resolution/filter change:
+            # rebuild (recompiles)
             self._config = config
+            if resolution != ctx.resolution:
+                ctx.set_resolution(resolution)
+            if vol_filter != ctx.filter:
+                ctx.set_filter(vol_filter)
             module = factory.get_module(renderer)
             params = module.Params()
             if hasattr(params, "extinction"):
