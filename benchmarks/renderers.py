@@ -1,0 +1,69 @@
+"""Per-renderer frame throughput on one chip.
+
+Times one progressive frame of each of the eight renderer families at the
+reference's default 512² resolution and prints one JSON line per renderer.
+The reference's implicit interactive budget is one rAF tick (~16 ms) per
+progressive sample (SURVEY.md §6); `within_budget` marks renderers that
+beat it on this chip.
+
+Usage: python benchmarks/renderers.py [--frames 20] [--size 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_renderer(key: str, size: int, frames: int) -> dict:
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import factory, make_scene
+
+    vol = volume.sphere_volume(128)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
+    renderer = factory.make_renderer(key, height=size, width=size)
+    renderer.reset(scene)
+
+    def sync():
+        leaf = jax.tree_util.tree_leaves(renderer.state)[0]
+        return np.asarray(leaf.ravel()[:1])
+
+    renderer.render(scene, 0.123)   # compile + warm
+    sync()
+    t0 = time.perf_counter()
+    for i in range(frames):
+        renderer.render(scene, 0.2 + 0.001 * i)
+    sync()
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    return {
+        "renderer": key,
+        "ms_per_frame": round(ms, 2),
+        "fps": round(1000.0 / ms, 1),
+        "within_budget": ms <= 16.0,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    from bench import probe_backend
+
+    probe_backend()
+    from vpt_tpu.renderers import factory
+
+    for key in factory.MODULES:
+        print(json.dumps(bench_renderer(key, args.size, args.frames)),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

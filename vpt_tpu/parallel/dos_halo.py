@@ -97,30 +97,24 @@ def sharded_render_frame(mesh: Mesh, scene: Scene, params: dos.Params,
             sampling.pixel_ndc(height, width), row0, h_local, axis=0)
 
         def sample_occlusion(occ_local, taps):
+            # corner-pack the halo-extended buffer so each tap is ONE
+            # gather (mirroring the single-device fast path); taps clamp
+            # in GLOBAL texel space first, so CLAMP_TO_EDGE matches the
+            # unsharded renderer exactly.  The halo width guarantees both
+            # bilinear corners stay inside the extended block.
             ext = exchange(occ_local)
+            packed = sampling.pack_corner_texture2d(ext[..., None])
             dims = jnp.array([width, height], jnp.float32)
             u = jnp.clip(taps * dims - 0.5, 0.0, dims - 1.0)
             i0 = jnp.floor(u)
             f = u - i0
-            i0 = i0.astype(jnp.int32)
-            i1 = i0 + 1
-            maxi = jnp.array([width - 1, height - 1], jnp.int32)
-            i0 = jnp.clip(i0, 0, maxi)
-            i1 = jnp.clip(i1, 0, maxi)
-            flat = ext.reshape(-1, 1)
-
-            def gather(ix, iy):
-                local = iy - row0 + halo
-                return jnp.take(flat, local * width + ix, axis=0)
-
+            i0 = jnp.clip(i0.astype(jnp.int32), 0,
+                          jnp.array([width - 1, height - 1], jnp.int32))
+            local_y = i0[..., 1] - row0 + halo
+            rows = jnp.take(packed, local_y * width + i0[..., 0], axis=0)
             fx, fy = f[..., 0:1], f[..., 1:2]
-            c00 = gather(i0[..., 0], i0[..., 1])
-            c10 = gather(i1[..., 0], i0[..., 1])
-            c01 = gather(i0[..., 0], i1[..., 1])
-            c11 = gather(i1[..., 0], i1[..., 1])
-            c0 = c00 * (1 - fx) + c10 * fx
-            c1 = c01 * (1 - fx) + c11 * fx
-            return (c0 * (1 - fy) + c1 * fy)[..., 0]
+            cx = rows[..., 0::2] * (1 - fx) + rows[..., 1::2] * fx
+            return cx[..., 0] * (1 - fy[..., 0]) + cx[..., 1] * fy[..., 0]
 
         return dos.render_frame(state, scene, params, seed, frame_number,
                                 ndc=ndc, sample_occlusion=sample_occlusion)

@@ -88,8 +88,13 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number,
         ndc = sampling.pixel_ndc(height, width)
     if sample_occlusion is None:
         def sample_occlusion(occlusion, taps):
-            return sampling.sample_texture2d(occlusion[..., None],
-                                             taps)[..., 0]
+            # corner-pack the slice's occlusion buffer so each of the N
+            # disk taps costs one gather instead of four (the pack itself
+            # is four cheap shifted copies on the VPU); bit-identical to
+            # sample_texture2d (tests/test_sampling.py)
+            packed = sampling.pack_corner_texture2d(occlusion[..., None])
+            return sampling.sample_texture2d_packed(
+                packed, occlusion.shape + (1,), taps)[..., 0]
     mapped = ndc * 0.5 + 0.5
     slice_distance = state["slice_distance"]
     occlusion_extent = slice_distance * jnp.tan(
