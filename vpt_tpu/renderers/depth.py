@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import rng, sampling
+from . import _march
 from .base import Scene, params_dataclass, static_field
 
 
@@ -49,20 +50,24 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         offset = jnp.float32(0.0)
     t0 = step_size * offset
 
-    def step(carry, _):
+    # While a pixel is active its carried t equals the static schedule
+    # t0 + i·step (all pixels advance in lockstep until they deactivate,
+    # after which the sampled value is masked out), so the march can sample
+    # at the schedule and keep the per-pixel t only as the frozen output.
+    def composite(carry, t_sched, color, valid):
         t, acc = carry
-        active = (t < 1.0) & (acc < params.threshold)
-        position = start + t[..., None] * (end - start)
-        alpha = scene.sample_color(position)[..., 3]
+        active = valid & (t < 1.0) & (acc < params.threshold)
+        alpha = color[..., 3]
         new_acc = acc + (1.0 - acc) * alpha * ray_step_length * params.extinction
         acc = jnp.where(active, new_acc, acc)
         t = jnp.where(active, t + step_size, t)
-        return (t, acc), None
+        return t, acc
 
+    ts = t0 + jnp.arange(params.slices, dtype=jnp.float32) * step_size
     t_init = jnp.full((height, width), t0, jnp.float32)
     acc_init = jnp.zeros((height, width), jnp.float32)
-    (t, acc), _ = lax.scan(step, (t_init, acc_init), None,
-                           length=params.slices)
+    t, acc = _march.march(scene, start, end, ts, composite,
+                          (t_init, acc_init))
 
     # oDepth = mix(tnear, tfar, t) at the exit t, else -1 (glsl:73-77)
     depth = tb[..., 0] + t * (tb[..., 1] - tb[..., 0])

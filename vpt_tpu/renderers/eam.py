@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import rng, sampling
+from . import _march
 from .base import Scene, params_dataclass, static_field
 
 
@@ -56,20 +57,17 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         offset = jnp.float32(0.0)
     t0 = step_size * offset
 
-    def step(carry, i):
-        acc = carry
-        t = t0 + i.astype(jnp.float32) * step_size
-        active = (t < 1.0) & (acc[..., 3] < 0.99)
-        position = start + t * (end - start)
-        color = scene.sample_color(position)
+    def composite(acc, t, color, valid):
+        active = valid & (t < 1.0) & (acc[..., 3] < 0.99)
         alpha = color[..., 3] * ray_step_length * params.extinction
         premult = jnp.concatenate(
             [color[..., :3] * alpha[..., None], alpha[..., None]], axis=-1)
         new_acc = acc + (1.0 - acc[..., 3:4]) * premult
-        return jnp.where(active[..., None], new_acc, acc), None
+        return jnp.where(active[..., None], new_acc, acc)
 
+    ts = t0 + jnp.arange(params.slices, dtype=jnp.float32) * step_size
     acc0 = jnp.zeros((height, width, 4), jnp.float32)
-    acc, _ = lax.scan(step, acc0, jnp.arange(params.slices))
+    acc = _march.march(scene, start, end, ts, composite, acc0)
 
     # `if (a > 1) rgb /= a` over-saturation normalization (EAM glsl:74-76)
     over = acc[..., 3:4] > 1.0

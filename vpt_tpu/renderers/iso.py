@@ -18,6 +18,7 @@ from jax import lax
 
 from .. import math3d as m4
 from .. import rng, sampling
+from . import _march
 from .base import Scene, params_dataclass, static_field
 
 
@@ -46,20 +47,21 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     step_size = jnp.float32(1.0 / params.steps)
     _, offset = rng.uniform(rng.pcg(rng.float_bits_to_uint(seed)))
 
-    def step(closest, i):
-        # backward march: t = 1 - offset*step - i*step (glsl:64-73); the last
-        # write wins, which is the nearest hit
-        t = 1.0 - offset * step_size - i.astype(jnp.float32) * step_size
+    # backward march: t = 1 - offset*step - i*step (glsl:64-73); the last
+    # write wins, which is the nearest hit
+    def composite(closest, t, color, valid):
+        value = color[..., 3]
+        hit = valid & (value >= params.isovalue)
         position = start + t * (end - start)
-        value = scene.sample_color(position)[..., 3]
-        hit = value >= params.isovalue
         candidate = jnp.concatenate(
             [position, jnp.broadcast_to(t, position.shape[:-1])[..., None]],
             axis=-1)
-        return jnp.where(hit[..., None], candidate, closest), None
+        return jnp.where(hit[..., None], candidate, closest)
 
+    ts = 1.0 - offset * step_size \
+        - jnp.arange(params.steps, dtype=jnp.float32) * step_size
     init = jnp.full((height, width, 4), -1.0, jnp.float32)
-    closest, _ = lax.scan(step, init, jnp.arange(params.steps))
+    closest = _march.march(scene, start, end, ts, composite, init)
     return jnp.where(miss[..., None], -1.0, closest)
 
 

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import rng, sampling
+from . import _march
 from .base import Scene, params_dataclass, static_field
 
 
@@ -39,14 +40,15 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
 
     # the GLSL do/while walks offset = mod(offset + step, 1) for exactly
     # `steps` iterations (MIPRenderer.glsl:64-69)
-    def step(val, i):
-        offset = jnp.mod(offset0 + i.astype(jnp.float32) * step_size, 1.0)
-        position = start + offset * (end - start)
-        alpha = scene.sample_color(position)[..., 3]
-        return jnp.maximum(val, alpha), None
+    def composite(val, t, color, valid):
+        alpha = jnp.where(valid, color[..., 3], 0.0)
+        return jnp.maximum(val, alpha)
 
+    ts = jnp.mod(
+        offset0 + jnp.arange(params.steps, dtype=jnp.float32) * step_size,
+        1.0)
     val0 = jnp.zeros((height, width), jnp.float32)
-    val, _ = lax.scan(step, val0, jnp.arange(params.steps))
+    val = _march.march(scene, start, end, ts, composite, val0)
     return jnp.where(miss, 0.0, val)
 
 
