@@ -277,3 +277,27 @@ def test_viewer_resolution_and_filter_controls():
     assert ctx.renderer.height == 32
     img = ctx.render(frames=1) or ctx.get_display_image()
     assert np.asarray(ctx.get_display_image()).shape[0] == 32
+
+
+def test_viewer_volume_trs_controls():
+    from vpt_tpu.runtime.viewer import ViewerServer
+
+    ctx = make_ctx("mip", resolution=16)
+    server = ViewerServer(ctx, port=0)
+    q = {"yaw": ["0.1"], "pitch": ["0.0"], "renderer": ["mip"],
+         "tonemap": ["reinhard"], "extinction": ["20"],
+         "vtrans": ["0.1,0,0"], "vrot": ["0,45,0"],
+         "vscale": ["1,2,1"], "reset": ["1"]}
+    server._apply_query(q)
+    assert np.allclose(np.asarray(ctx.volume_transform.local_translation),
+                       [0.1, 0, 0])
+    assert np.allclose(np.asarray(ctx.volume_transform.local_scale),
+                       [1, 2, 1])
+    before = np.asarray(ctx.get_scene().mvp_inverse).copy()
+    # identity TRS restores the default matrices
+    q2 = dict(q, vtrans=["0,0,0"], vrot=["0,0,0"], vscale=["1,1,1"])
+    server._apply_query(q2)
+    after = np.asarray(ctx.get_scene().mvp_inverse)
+    assert not np.allclose(before, after)
+    ctx.render(frames=1)
+    assert np.isfinite(np.asarray(ctx.get_display_image())).all()

@@ -179,8 +179,18 @@ def cmd_render(args):
     if args.resume:
         ctx.load_checkpoint(args.resume)
     t0 = time.perf_counter()
-    ctx.render(frames=args.spp)
-    ctx.get_display_image().block_until_ready()
+    if args.trace:
+        import contextlib
+
+        import jax
+        trace_cm = jax.profiler.trace(args.trace)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        ctx.render(frames=args.spp)
+        ctx.get_display_image().block_until_ready()
     dt = time.perf_counter() - t0
     ctx.save_image(args.output)
     if args.checkpoint:
@@ -295,6 +305,8 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="render.png")
     p.add_argument("--checkpoint", help="save progressive state here")
     p.add_argument("--resume", help="resume progressive state from here")
+    p.add_argument("--trace", help="write a jax.profiler trace (TensorBoard "
+                                   "format) of the render to this directory")
     p.set_defaults(func=cmd_render)
 
     p = sub.add_parser("animate", help="render an animation sequence")

@@ -116,11 +116,12 @@ class RenderingContext:
             if self.volume is None:
                 raise RuntimeError("no volume set")
             cam = CameraState.from_nodes(self.camera, self.volume_transform)
+            fast = self.precision == "fast"
             self._scene = renderer_base.make_scene(
                 self.volume, self.transfer_texture, camera=cam,
                 environment=self.environment,
-                pack_dtype=(jnp.bfloat16 if self.precision == "fast"
-                            else None))
+                pack_dtype=jnp.bfloat16 if fast else None,
+                tf_mxu=fast)  # MXU one-hot 1D TF: same precision class
             self._scene_dirty = False
             self._camera_dirty = False
         elif self._camera_dirty:

@@ -60,6 +60,12 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
   <label>Volume filter</label>
   <select id="filter"><option selected>linear</option><option>nearest</option>
   </select>
+  <label>Volume translate</label>
+  <input id="vtrans" value="0,0,0">
+  <label>Volume rotate (deg)</label>
+  <input id="vrot" value="0,0,0">
+  <label>Volume scale</label>
+  <input id="vscale" value="1,1,1">
   <label>Transfer function</label>
   <canvas id="tfedit" width="196" height="110"
           style="border:1px solid #444; background:#000; touch-action:none">
@@ -95,7 +101,7 @@ img.addEventListener('wheel', e => {
   e.preventDefault();
   distance *= Math.exp(e.deltaY * 0.001); epoch++; frames = 0; });
 for (const id of ['renderer', 'tonemap', 'extinction', 'resolution',
-                  'filter'])
+                  'filter', 'vtrans', 'vrot', 'vscale'])
   document.getElementById(id).addEventListener('change',
     () => { epoch++; frames = 0; });
 document.getElementById('resolution').addEventListener('change', e => {
@@ -245,6 +251,9 @@ async function loop() {
     extinction: document.getElementById('extinction').value,
     resolution: document.getElementById('resolution').value,
     filter: document.getElementById('filter').value,
+    vtrans: document.getElementById('vtrans').value,
+    vrot: document.getElementById('vrot').value,
+    vscale: document.getElementById('vscale').value,
     spp: document.getElementById('spp').value,
     reset: frames === 0 ? '1' : '0',
   });
@@ -301,6 +310,16 @@ class ViewerServer:
         vol_filter = q.get("filter", [ctx.filter])[0]
         reset = q.get("reset", ["0"])[0] == "1"
 
+        def vec(name, default):
+            try:
+                parts = [float(x) for x in
+                         q.get(name, [default])[0].split(",")]
+                return tuple(parts) if len(parts) == 3 else None
+            except ValueError:
+                return None
+        trs = (vec("vtrans", "0,0,0"), vec("vrot", "0,0,0"),
+               vec("vscale", "1,1,1"))
+
         config = (renderer, tonemap, extinction, resolution, vol_filter)
         pose = (yaw, pitch, distance)
         if config != getattr(self, "_config", None) or ctx.renderer is None:
@@ -325,6 +344,16 @@ class ViewerServer:
             ctx.camera_animator.pitch = pitch
             ctx.camera_animator.distance = distance
             ctx.camera_animator._update_camera()
+        if trs != getattr(self, "_trs", None) and all(trs):
+            # volume TRS (RenderingContextDialog parity): matrices-only
+            # refresh — the transform change listener resets accumulation
+            self._trs = trs
+            from .. import math3d as m4
+
+            translate, rotate, scale = trs
+            ctx.volume_transform.local_translation = translate
+            ctx.volume_transform.local_rotation = m4.quat_from_euler(*rotate)
+            ctx.volume_transform.local_scale = scale
 
     def _render_png(self, q) -> bytes:
         from PIL import Image
