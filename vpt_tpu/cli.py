@@ -236,6 +236,20 @@ def cmd_fit(args):
     n = args.grid
     init = jnp.full((n, n, n, 1), 0.1, jnp.float32)
     tf = gray_ramp(alpha_scale=1.0)
+    if args.method in ("mcm", "mcs"):
+        # Monte-Carlo inverse rendering through the detached-decision
+        # estimators (BASELINE config 3)
+        from .renderers import make_scene
+        from .train import fit_mc
+
+        template = make_scene(init, tf, pack=False)
+        vol, _, losses = fit_mc(
+            target, template, init_volume=init, renderer=args.method,
+            frames=args.mc_frames, steps=args.steps,
+            learning_rate=args.lr, verbose=True)
+        np.save(args.output, np.asarray(vol))
+        print(f"final loss {losses[-1]:.6f}; wrote {args.output}.npy")
+        return
     params = eam.Params(slices=args.eam_slices or 64, random=False)
     vol, _, losses = fit(target, mats, init, tf, steps=args.steps,
                          learning_rate=args.lr, params=params, verbose=True)
@@ -325,6 +339,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--eam-slices", type=int, default=None)
+    p.add_argument("--method", default="eam", choices=["eam", "mcm", "mcs"],
+                   help="differentiable renderer: eam (deterministic) or "
+                        "mcm/mcs (Monte-Carlo expected-value estimators)")
+    p.add_argument("--mc-frames", type=int, default=32,
+                   help="MC frames averaged per optimization step")
     p.add_argument("--output", "-o", default="fitted_volume")
     p.add_argument("--platform", default=None)
     p.set_defaults(func=cmd_fit)
