@@ -58,3 +58,23 @@ def test_tf1d_pack_nonmultiple_width():
     uv = jnp.stack([values, jnp.zeros_like(values)], axis=-1)
     ref = np.asarray(sampling.sample_texture2d(tf, uv))
     assert np.allclose(got, ref, atol=1e-6)
+
+
+def test_tf_banks_active_in_march_renderers():
+    """Regression: tf_banks must engage for the marchers' chunked (4-D)
+    position batches, matching the gather path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import eam, make_scene
+
+    v = volume.sphere_volume(16)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    sc_banks = make_scene(v, tf, tf_banks=True)
+    assert sc_banks.transfer_banks is not None
+    sc_ref = make_scene(v, tf)
+    params = eam.Params(slices=16, random=False)
+    # 16x16 pixels x 8-slice chunks -> 4-D positions inside _march
+    a = eam.generate(sc_banks, params, jnp.float32(0.0), 16, 16)
+    b = eam.generate(sc_ref, params, jnp.float32(0.0), 16, 16)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

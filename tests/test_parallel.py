@@ -235,3 +235,44 @@ def test_dos_halo_sharding_matches_single_device(scene):
     state8b = frame_fn(state8, sc, params, jnp.float32(0.0), jnp.int32(2))
     assert np.allclose(np.asarray(state1b["color"]),
                        np.asarray(state8b["color"]), atol=1e-6)
+
+
+def test_dos_halo_offsets_not_sharded_when_samples_equal_height(scene):
+    """Regression: the (samples, 2) tap table must replicate even when
+    params.samples coincides with the pixel height."""
+    from vpt_tpu.parallel import dos_halo
+    from vpt_tpu.renderers import dos
+
+    h = w = 64
+    params = dos.Params(extinction=80.0, steps=10, slices=30, samples=h)
+
+    state1 = dos.reset(params, h, w, scene)
+    state1 = jax.jit(dos.render_frame)(state1, scene, params,
+                                       jnp.float32(0.0), jnp.int32(1))
+
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc = sharded_scene(scene, mesh)
+    frame_fn, _ = dos_halo.sharded_render_frame(mesh, sc, params, h, w,
+                                                donate=False)
+    state8 = place_state(dos.reset(params, h, w, sc), mesh)
+    state8 = frame_fn(state8, sc, params, jnp.float32(0.0), jnp.int32(1))
+    assert np.allclose(np.asarray(state1["color"]),
+                       np.asarray(state8["color"]), atol=1e-6)
+
+
+def test_dos_halo_rejects_camera_inside_volume(scene):
+    """A slice at depth 0 has unbounded tap scale; the builder must refuse
+    rather than silently diverge from the single-device sweep."""
+    import dataclasses
+
+    from vpt_tpu.parallel import dos_halo
+    from vpt_tpu.renderers import dos
+    from vpt_tpu.scene import CameraState, default_camera
+
+    inside = CameraState.from_nodes(default_camera(translation=(0, 0, 0.2)))
+    sc = dataclasses.replace(scene, mvp_inverse=inside.mvp_inverse,
+                             model_view=inside.model_view,
+                             projection=inside.projection)
+    mesh = make_mesh(8, space=1, axes=("data",))
+    with pytest.raises(ValueError, match="unbounded|halo"):
+        dos_halo.sharded_render_frame(mesh, sc, dos.Params(), 64, 64)

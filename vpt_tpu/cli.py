@@ -179,14 +179,12 @@ def cmd_render(args):
     if args.resume:
         ctx.load_checkpoint(args.resume)
     t0 = time.perf_counter()
-    if args.trace:
-        import contextlib
+    import contextlib
 
+    if args.trace:
         import jax
         trace_cm = jax.profiler.trace(args.trace)
     else:
-        import contextlib
-
         trace_cm = contextlib.nullcontext()
     with trace_cm:
         ctx.render(frames=args.spp)

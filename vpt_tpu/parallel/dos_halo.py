@@ -53,9 +53,13 @@ def occlusion_halo_width(scene: Scene, params: dos.Params,
                           -depths, np.ones_like(depths)]))
     with np.errstate(divide="ignore", invalid="ignore"):
         corr_y = np.abs(h[1] / h[3])
-    corr_y = corr_y[np.isfinite(corr_y)]
-    if corr_y.size == 0:
-        return height
+    if not np.isfinite(corr_y).all():
+        # camera inside the volume: a slice sits at depth 0 (projection
+        # w = 0), its tap radius is unbounded, and no finite halo can
+        # reproduce the single-device sweep — refuse rather than diverge
+        raise ValueError(
+            "occlusion tap scale is unbounded (slice at depth 0 — camera "
+            "inside the volume); use the auto-partitioned DOS path")
     max_scale = float(np.max(corr_y)) * extent
     offsets = np.asarray(dos._occlusion_samples(params.samples))
     max_off = float(np.max(np.abs(offsets[:, 1]))) if offsets.size else 0.0
@@ -119,13 +123,15 @@ def sharded_render_frame(mesh: Mesh, scene: Scene, params: dos.Params,
         return dos.render_frame(state, scene, params, seed, frame_number,
                                 ndc=ndc, sample_occlusion=sample_occlusion)
 
-    def leaf_spec(leaf):
-        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[0] == height:
-            return P(data_axis, *([None] * (leaf.ndim - 1)))
-        return P()
-
+    # shard only the pixel-indexed leaves by NAME — a shape test would
+    # silently row-shard the (samples, 2) offsets table when
+    # params.samples == height
     state_example = dos.reset(params, height, width, scene)
-    st_specs = jax.tree_util.tree_map(leaf_spec, state_example)
+    st_specs = {
+        k: (P(data_axis, *([None] * (v.ndim - 1)))
+            if k in ("color", "occlusion") else P())
+        for k, v in state_example.items()
+    }
 
     mapped = shard_map(
         body, mesh=mesh,

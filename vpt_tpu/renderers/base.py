@@ -140,16 +140,22 @@ class Scene:
             return sampling.sample_transfer_1d_mxu(self.transfer_mxu, value)
         if (self.transfer_banks is not None
                 and self.volume.shape[-1] == 1
-                and position.ndim == 3):
-            h, w = position.shape[:2]
-            if (h * w) % 128 == 0:
+                and position.ndim >= 3):
+            import math
+
+            # any leading layout (pixel grid or chunk-of-slices batches
+            # from renderers/_march.py) flattens to lookup rows
+            n = math.prod(position.shape[:-1])
+            if n % 128 == 0:
                 from ..pallas import tf1d
 
                 value = self.sample_volume_rg(position)[..., 0]
-                return tf1d.lookup_1d(self.transfer_banks, value,
-                                      self.transfer.shape[1],
-                                      interpret=jax.default_backend()
-                                      == "cpu")
+                flat = value.reshape(n // 128, 128)
+                out = tf1d.lookup_1d(self.transfer_banks, flat,
+                                     self.transfer.shape[1],
+                                     interpret=jax.default_backend()
+                                     == "cpu")
+                return out.reshape(value.shape + (4,))
         return self.sample_transfer(self.sample_volume_rg(position))
 
     def sample_env(self, direction):

@@ -233,6 +233,14 @@ async function init() {
       sel.appendChild(o);
     }
   }
+  const rsel = document.getElementById('resolution');
+  if (![...rsel.options].some(o => o.value == info.resolution)) {
+    const o = document.createElement('option');
+    o.value = o.textContent = info.resolution;
+    rsel.appendChild(o);
+  }
+  rsel.value = info.resolution;
+  img.width = img.height = info.resolution;
   bumps = await (await fetch('tf')).json();
   hist = await (await fetch('histogram')).json();
   tfImg.onload = drawTF;
