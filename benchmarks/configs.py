@@ -54,7 +54,13 @@ def bench_config(res: int, vol_n: int, steps: int, frames: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu - the "
+                         "JAX_PLATFORMS env var is pinned at interpreter "
+                         "startup on this machine and has no effect)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from bench import probe_backend  # noqa: F401  (repo root on sys.path)
 

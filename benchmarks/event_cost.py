@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu - the "
+                         "JAX_PLATFORMS env var is pinned at interpreter "
+                         "startup on this machine and has no effect)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from vpt_tpu import transfer, volume
     from vpt_tpu.renderers import make_scene, mcm

@@ -60,7 +60,13 @@ def main():
     ap.add_argument("--volume", type=int, default=128)
     ap.add_argument("--exact", action="store_true",
                     help="float32 tables instead of bf16")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu - the "
+                         "JAX_PLATFORMS env var is pinned at interpreter "
+                         "startup on this machine and has no effect)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     pack_dtype = None if args.exact else jnp.bfloat16
     n = len(jax.devices())
