@@ -62,7 +62,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from bench import probe_backend  # noqa: F401  (repo root on sys.path)
+    from bench import probe_backend  # repo root on sys.path
 
     probe_backend()
     configs = [

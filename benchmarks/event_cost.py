@@ -107,20 +107,15 @@ def main():
     bench_scene("no gathers (VPU logic only)", none)
 
     # MXU one-hot TF: post-classified 1D lookup as a bilinear-weight matmul
-    tf1d_tab = jnp.asarray(tf[0], jnp.bfloat16)          # (TW, 4) y=0 row
+    # (the production path: sampling.sample_transfer_1d_mxu / tf_mxu=True)
+    from vpt_tpu import sampling as sampling_mod
+
+    tf1d_tab = sampling_mod.pack_mxu_transfer(tf)        # (TW, 4) y=0 row
 
     class OneHotTF(type(base)):
         def sample_color(self, position):
             v = self.sample_volume_rg(position)[..., 0]   # (H, W)
-            tw = tf1d_tab.shape[0]
-            u = jnp.clip(v * tw - 0.5, 0.0, tw - 1.0)
-            flat = u.reshape(-1, 1)                        # (N, 1)
-            idx = jax.lax.broadcasted_iota(
-                jnp.float32, (flat.shape[0], tw), 1)
-            wgt = jnp.clip(1.0 - jnp.abs(flat - idx), 0.0, 1.0)
-            out = jnp.dot(wgt.astype(jnp.bfloat16), tf1d_tab,
-                          preferred_element_type=jnp.float32)
-            return out.reshape(v.shape + (4,))
+            return sampling_mod.sample_transfer_1d_mxu(tf1d_tab, v)
     onehot = variant(OneHotTF, base)
     bench_scene("MXU one-hot 1D TF", onehot)
 

@@ -229,8 +229,6 @@ def cmd_fit(args):
     from .transfer import gray_ramp
 
     target = jnp.asarray(read_image(args.target))
-    cam = CameraState.from_nodes(default_camera())
-    mats = (cam.mvp_inverse, cam.model_view, cam.projection)
     n = args.grid
     init = jnp.full((n, n, n, 1), 0.1, jnp.float32)
     tf = gray_ramp(alpha_scale=1.0)
@@ -248,6 +246,8 @@ def cmd_fit(args):
         np.save(args.output, np.asarray(vol))
         print(f"final loss {losses[-1]:.6f}; wrote {args.output}.npy")
         return
+    cam = CameraState.from_nodes(default_camera())
+    mats = (cam.mvp_inverse, cam.model_view, cam.projection)
     params = eam.Params(slices=args.eam_slices or 64, random=False)
     vol, _, losses = fit(target, mats, init, tf, steps=args.steps,
                          learning_rate=args.lr, params=params, verbose=True)

@@ -300,6 +300,8 @@ class ViewerServer:
         self.lock = threading.Lock()
         self.host, self.port = host, port
         self._pose = None
+        self._config = None
+        self._trs = None
         self._server = None
         self.bumps = None  # TransferFunctionBumps once the editor touches it
 
@@ -330,7 +332,7 @@ class ViewerServer:
 
         config = (renderer, tonemap, extinction, resolution, vol_filter)
         pose = (yaw, pitch, distance)
-        if config != getattr(self, "_config", None) or ctx.renderer is None:
+        if config != self._config or ctx.renderer is None:
             # renderer/tonemap/extinction/resolution/filter change:
             # rebuild (recompiles)
             self._config = config
@@ -352,7 +354,7 @@ class ViewerServer:
             ctx.camera_animator.pitch = pitch
             ctx.camera_animator.distance = distance
             ctx.camera_animator._update_camera()
-        if trs != getattr(self, "_trs", None) and all(trs):
+        if trs != self._trs and all(trs):
             # volume TRS (RenderingContextDialog parity): matrices-only
             # refresh — the transform change listener resets accumulation
             self._trs = trs
