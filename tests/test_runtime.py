@@ -301,3 +301,17 @@ def test_viewer_volume_trs_controls():
     assert not np.allclose(before, after)
     ctx.render(frames=1)
     assert np.isfinite(np.asarray(ctx.get_display_image())).all()
+
+
+def test_viewer_focus_pan_moves_camera():
+    from vpt_tpu.runtime.viewer import ViewerServer
+
+    ctx = make_ctx("mip", resolution=16)
+    server = ViewerServer(ctx, port=0)
+    base = {"yaw": ["0.2"], "pitch": ["0.1"], "renderer": ["mip"],
+            "tonemap": ["reinhard"], "extinction": ["20"], "reset": ["1"]}
+    server._apply_query(dict(base, focus=["0,0,0"]))
+    eye0 = np.asarray(ctx.camera.transform.local_translation).copy()
+    server._apply_query(dict(base, focus=["0.3,0,0"]))
+    eye1 = np.asarray(ctx.camera.transform.local_translation)
+    assert np.allclose(eye1 - eye0, [0.3, 0, 0], atol=1e-6)

@@ -81,21 +81,38 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
     <button id="tfload">load</button>
     <input id="tffile" type="file" accept=".json" style="display:none">
   </div>
-  <div style="color:#666">drag bump · wheel resizes · dblclick adds</div>
+  <div style="color:#666">drag bump · wheel resizes · dblclick adds<br>
+  image: drag orbits · shift/right-drag pans · wheel zooms</div>
   <div id="stats"></div>
 </div>
 <script>
-let yaw = 0.5, pitch = 0.3, distance = 2.0, dragging = false,
-    px = 0, py = 0, epoch = 0, busy = false, frames = 0;
+let yaw = 0.5, pitch = 0.3, distance = 2.0, focus = [0, 0, 0],
+    dragging = 0, px = 0, py = 0, epoch = 0, busy = false, frames = 0;
 const img = document.getElementById('canvas');
+img.addEventListener('contextmenu', e => e.preventDefault());
 img.addEventListener('pointerdown', e => {
-  dragging = true; px = e.clientX; py = e.clientY;
+  dragging = (e.button === 2 || e.shiftKey) ? 2 : 1;
+  px = e.clientX; py = e.clientY;
   img.setPointerCapture(e.pointerId); });
-img.addEventListener('pointerup', () => dragging = false);
+img.addEventListener('pointerup', () => dragging = 0);
 img.addEventListener('pointermove', e => {
   if (!dragging) return;
-  yaw -= (e.clientX - px) * 0.01; pitch += (e.clientY - py) * 0.01;
-  pitch = Math.max(-1.5, Math.min(1.5, pitch));
+  const dx = e.clientX - px, dy = e.clientY - py;
+  if (dragging === 2) {
+    // pan: translate focus in the camera plane (animators.pan)
+    const cy = Math.cos(yaw), sy = Math.sin(yaw),
+          cp = Math.cos(pitch), sp = Math.sin(pitch),
+          back = [sy * cp, sp, cy * cp], right = [cy, 0, -sy],
+          up = [back[1] * right[2] - back[2] * right[1],
+                back[2] * right[0] - back[0] * right[2],
+                back[0] * right[1] - back[1] * right[0]],
+          k = 0.002 * distance;
+    for (let i = 0; i < 3; i++)
+      focus[i] += (-dx * right[i] + dy * up[i]) * k;
+  } else {
+    yaw -= dx * 0.01; pitch += dy * 0.01;
+    pitch = Math.max(-1.5, Math.min(1.5, pitch));
+  }
   px = e.clientX; py = e.clientY; epoch++; frames = 0; });
 img.addEventListener('wheel', e => {
   e.preventDefault();
@@ -253,7 +270,7 @@ async function loop() {
   busy = true;
   const myEpoch = epoch;
   const q = new URLSearchParams({
-    yaw, pitch, distance,
+    yaw, pitch, distance, focus: focus.join(','),
     renderer: document.getElementById('renderer').value,
     tonemap: document.getElementById('tonemap').value,
     extinction: document.getElementById('extinction').value,
@@ -330,8 +347,10 @@ class ViewerServer:
         trs = (vec("vtrans", "0,0,0"), vec("vrot", "0,0,0"),
                vec("vscale", "1,1,1"))
 
+        focus = vec("focus", "0,0,0") or (0.0, 0.0, 0.0)
+
         config = (renderer, tonemap, extinction, resolution, vol_filter)
-        pose = (yaw, pitch, distance)
+        pose = (yaw, pitch, distance, focus)
         if config != self._config or ctx.renderer is None:
             # renderer/tonemap/extinction/resolution/filter change:
             # rebuild (recompiles)
@@ -353,6 +372,7 @@ class ViewerServer:
             ctx.camera_animator.yaw = yaw
             ctx.camera_animator.pitch = pitch
             ctx.camera_animator.distance = distance
+            ctx.camera_animator.focus = np.asarray(focus, np.float32)
             ctx.camera_animator._update_camera()
         if trs != self._trs and all(trs):
             # volume TRS (RenderingContextDialog parity): matrices-only
