@@ -228,10 +228,41 @@ def cmd_fit(args):
     from .train import fit
     from .transfer import gray_ramp
 
-    target = jnp.asarray(read_image(args.target))
     n = args.grid
     init = jnp.full((n, n, n, 1), 0.1, jnp.float32)
     tf = gray_ramp(alpha_scale=1.0)
+    if args.method == "iso-depth":
+        # inverse isosurface geometry from a depth map (BASELINE config 1)
+        import optax
+
+        from .renderers import diff_iso, make_scene
+
+        if not args.target.endswith(".npy"):
+            raise SystemExit(
+                "--method iso-depth expects an .npy depth map (H, W) "
+                "float32 with -1 marking invalid pixels — e.g. "
+                "np.save of diff_iso.render(...)['depth']")
+        target_depth = jnp.asarray(np.load(args.target), jnp.float32)
+        h, w = target_depth.shape
+        params = diff_iso.Params()
+        template = make_scene(init, tf, pack=False)
+        import jax as jax_mod
+
+        loss_grad = jax_mod.jit(jax_mod.value_and_grad(
+            lambda v: diff_iso.depth_loss(v, template, params,
+                                          target_depth, h, w)))
+        opt = optax.adam(args.lr)
+        vol, opt_state = init, opt.init(init)
+        for i in range(args.steps):
+            loss, g = loss_grad(vol)
+            updates, opt_state = opt.update(g, opt_state, vol)
+            vol = jnp.clip(optax.apply_updates(vol, updates), 0.0, 1.0)
+            if i % 25 == 0:
+                print(f"step {i}: depth MSE {float(loss):.6f}")
+        np.save(args.output, np.asarray(vol))
+        print(f"final depth MSE {float(loss):.6f}; wrote {args.output}.npy")
+        return
+    target = jnp.asarray(read_image(args.target))
     if args.method in ("mcm", "mcs"):
         # Monte-Carlo inverse rendering through the detached-decision
         # estimators (BASELINE config 3)
@@ -337,9 +368,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--eam-slices", type=int, default=None)
-    p.add_argument("--method", default="eam", choices=["eam", "mcm", "mcs"],
-                   help="differentiable renderer: eam (deterministic) or "
-                        "mcm/mcs (Monte-Carlo expected-value estimators)")
+    p.add_argument("--method", default="eam",
+                   choices=["eam", "mcm", "mcs", "iso-depth"],
+                   help="differentiable path: eam (deterministic image), "
+                        "mcm/mcs (Monte-Carlo expected-value estimators), "
+                        "iso-depth (soft isosurface depth fitting; .npy "
+                        "target)")
     p.add_argument("--mc-frames", type=int, default=32,
                    help="MC frames averaged per optimization step")
     p.add_argument("--output", "-o", default="fitted_volume")
