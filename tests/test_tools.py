@@ -145,6 +145,48 @@ def test_cli_render_end_to_end(tmp_path):
     assert out.exists()
 
 
+def test_cli_fit_multiview(tmp_path):
+    import math
+
+    from vpt_tpu import cli, transfer, volume
+    from vpt_tpu.io.image import write_png
+    from vpt_tpu.renderers import eam
+    from vpt_tpu.runtime.animators import OrbitCameraAnimator
+    from vpt_tpu.scene import CameraState, default_camera
+    from vpt_tpu.train import render_eam
+
+    # two orbit views of a tiny sphere as fit targets
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    truth = volume.sphere_volume(8)
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    paths = []
+    for i, yaw_deg in enumerate((0.0, 180.0)):
+        orbit.yaw = math.radians(yaw_deg)
+        orbit._update_camera()
+        cs = CameraState.from_nodes(cam)
+        img = render_eam(truth.data, tf, (cs.mvp_inverse, cs.model_view,
+                                          cs.projection),
+                         eam.Params(slices=16, random=False),
+                         jnp.float32(0.0), 24, 24)
+        p = tmp_path / f"t{i}.png"
+        write_png(p, np.asarray(img))
+        paths.append(str(p))
+
+    out = tmp_path / "vol"
+    cli.main(["fit", "--target", *paths, "--view-yaw", "0", "180",
+              "--grid", "8", "--steps", "3", "--eam-slices", "16",
+              "-o", str(out)])
+    fitted = np.load(str(out) + ".npy")
+    assert fitted.shape == (8, 8, 8, 1)
+    assert (tmp_path / "vol.png").exists()
+
+    # non-eam methods reject multiple targets
+    with pytest.raises(SystemExit):
+        cli.main(["fit", "--target", *paths, "--method", "mcs",
+                  "--grid", "8", "--steps", "1", "-o", str(out)])
+
+
 def test_distributed_single_process():
     from vpt_tpu.parallel import distributed
 

@@ -228,6 +228,9 @@ def cmd_fit(args):
     from .train import fit
     from .transfer import gray_ramp
 
+    if args.method != "eam" and len(args.target) > 1:
+        raise SystemExit(f"--method {args.method} takes a single --target; "
+                         "multi-view fitting is eam-only")
     n = args.grid
     init = jnp.full((n, n, n, 1), 0.1, jnp.float32)
     tf = gray_ramp(alpha_scale=1.0)
@@ -242,7 +245,7 @@ def cmd_fit(args):
                 "--method iso-depth expects an .npy depth map (H, W) "
                 "float32 with -1 marking invalid pixels — e.g. "
                 "np.save of diff_iso.render(...)['depth']")
-        target_depth = jnp.asarray(np.load(args.target), jnp.float32)
+        target_depth = jnp.asarray(np.load(args.target[0]), jnp.float32)
         h, w = target_depth.shape
         params = diff_iso.Params()
         template = make_scene(init, tf, pack=False)
@@ -262,7 +265,7 @@ def cmd_fit(args):
         np.save(args.output, np.asarray(vol))
         print(f"final depth MSE {float(loss):.6f}; wrote {args.output}.npy")
         return
-    target = jnp.asarray(read_image(args.target))
+    target = jnp.asarray(read_image(args.target[0]))
     if args.method in ("mcm", "mcs"):
         # Monte-Carlo inverse rendering through the detached-decision
         # estimators (BASELINE config 3)
@@ -277,17 +280,45 @@ def cmd_fit(args):
         np.save(args.output, np.asarray(vol))
         print(f"final loss {losses[-1]:.6f}; wrote {args.output}.npy")
         return
-    cam = CameraState.from_nodes(default_camera())
-    mats = (cam.mvp_inverse, cam.model_view, cam.projection)
+    # multi-view EAM fitting: one camera per target image.  Single-view
+    # reconstruction is ill-posed along the view axis (train.fit docstring);
+    # pass several orbit views of the same object to resolve it.
+    import math
+
+    from .runtime.animators import OrbitCameraAnimator
+
+    targets = [jnp.asarray(read_image(t)) for t in args.target]
+    n_views = len(targets)
+    yaws = args.view_yaw
+    if yaws is None:
+        # default: spread views evenly over a full horizontal orbit
+        yaws = [360.0 * i / n_views for i in range(n_views)]
+    pitches = args.view_pitch or [0.0] * n_views
+    if len(yaws) != n_views or len(pitches) != n_views:
+        raise SystemExit("--view-yaw/--view-pitch must match the number "
+                         "of --target images")
+
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    orbit.distance = args.camera_distance
+    views = []
+    for yaw, pitch in zip(yaws, pitches):
+        orbit.yaw = math.radians(yaw)
+        orbit.pitch = math.radians(pitch)
+        orbit._update_camera()
+        cs = CameraState.from_nodes(cam)
+        views.append((cs.mvp_inverse, cs.model_view, cs.projection))
+
     params = eam.Params(slices=args.eam_slices or 64, random=False)
-    vol, _, losses = fit(target, mats, init, tf, steps=args.steps,
+    vol, _, losses = fit(targets, views, init, tf, steps=args.steps,
                          learning_rate=args.lr, params=params, verbose=True)
     np.save(args.output, np.asarray(vol))
     from .train import render_eam
-    pred = render_eam(vol, tf, mats, params, jnp.float32(0.0),
-                      *target.shape[:2])
+    pred = render_eam(vol, tf, views[0], params, jnp.float32(0.0),
+                      *targets[0].shape[:2])
     write_png(args.output + ".png", np.asarray(pred))
-    print(f"final loss {losses[-1]:.6f}; volume -> {args.output}.npy")
+    print(f"final loss {losses[-1]:.6f} over {n_views} view(s); "
+          f"volume -> {args.output}.npy")
 
 
 def cmd_serve(args):
@@ -362,8 +393,16 @@ def main(argv=None):
     p.add_argument("--fps", type=int, default=25)
     p.set_defaults(func=cmd_animate)
 
-    p = sub.add_parser("fit", help="inverse-render a volume from an image")
-    p.add_argument("--target", required=True, help="target image (PNG)")
+    p = sub.add_parser("fit", help="inverse-render a volume from images")
+    p.add_argument("--target", required=True, nargs="+",
+                   help="target image(s) (PNG); several targets fit "
+                        "multi-view (eam method only)")
+    p.add_argument("--view-yaw", type=float, nargs="+", default=None,
+                   help="per-target camera yaw in degrees (default: even "
+                        "spread over a full orbit)")
+    p.add_argument("--view-pitch", type=float, nargs="+", default=None,
+                   help="per-target camera pitch in degrees (default 0)")
+    p.add_argument("--camera-distance", type=float, default=2.0)
     p.add_argument("--grid", type=int, default=32)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.05)
