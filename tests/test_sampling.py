@@ -215,6 +215,22 @@ def test_mxu_transfer_matches_bilinear_lookup():
     assert np.allclose(oracle, got16, atol=2e-2)
 
 
+def test_mxu_transfer_chunked_path_matches(monkeypatch):
+    """Batches above _MXU_CHUNK_ROWS loop the matmul over row chunks
+    (HBM-pressure cap for the 8·H·W march batches); the loop must be
+    value-identical to the single matmul."""
+    from vpt_tpu import transfer
+    t = transfer.rasterize(transfer.TransferFunctionBumps.default(), 64, 64)
+    tab = sampling.pack_mxu_transfer(t, jnp.float32)
+    rng_np = np.random.default_rng(7)
+    value = jnp.asarray(rng_np.uniform(0, 1, (3, 701)).astype(np.float32))
+    whole = np.asarray(sampling.sample_transfer_1d_mxu(tab, value))
+    monkeypatch.setattr(sampling, "_MXU_CHUNK_ROWS", 256)
+    chunked = np.asarray(sampling.sample_transfer_1d_mxu(tab, value))
+    assert chunked.shape == value.shape + (4,)
+    assert np.array_equal(whole, chunked)
+
+
 def test_scene_tf_mxu_renders_close_to_gather_path():
     """An mcm frame on a tf_mxu scene stays close to the gather-path frame
     (identical RNG stream; only the TF lookup numerics differ)."""

@@ -187,6 +187,39 @@ def test_cli_fit_multiview(tmp_path):
                   "--grid", "8", "--steps", "1", "-o", str(out)])
 
 
+def test_cli_fit_iso_depth(tmp_path):
+    from vpt_tpu import cli, transfer, volume
+    from vpt_tpu.renderers import diff_iso, make_scene
+
+    truth = volume.sphere_volume(8)
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    scene = make_scene(truth.data, tf, pack=False)
+    depth = diff_iso.render(scene, diff_iso.Params(), 12, 12)["depth"]
+    target = tmp_path / "depth.npy"
+    np.save(target, np.asarray(depth))
+
+    out = tmp_path / "vol"
+    cli.main(["fit", "--target", str(target), "--method", "iso-depth",
+              "--grid", "8", "--steps", "2", "-o", str(out)])
+    assert np.load(str(out) + ".npy").shape == (8, 8, 8, 1)
+
+    # non-.npy targets get a clean error, not a traceback
+    bogus = tmp_path / "depth.png"
+    bogus.write_bytes(b"")
+    with pytest.raises(SystemExit):
+        cli.main(["fit", "--target", str(bogus), "--method", "iso-depth",
+                  "--grid", "8", "--steps", "1", "-o", str(out)])
+
+
+def test_cli_info_volume_rejects_non_archives(tmp_path):
+    from vpt_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["info", "--volume", str(tmp_path / "vol.raw")])
+    with pytest.raises(SystemExit):
+        cli.main(["info", "--volume", str(tmp_path / "missing.bvp")])
+
+
 def test_distributed_single_process():
     from vpt_tpu.parallel import distributed
 

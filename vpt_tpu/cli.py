@@ -240,7 +240,7 @@ def cmd_fit(args):
 
         from .renderers import diff_iso, make_scene
 
-        if not args.target.endswith(".npy"):
+        if not args.target[0].endswith(".npy"):
             raise SystemExit(
                 "--method iso-depth expects an .npy depth map (H, W) "
                 "float32 with -1 marking invalid pixels — e.g. "
@@ -342,8 +342,16 @@ def cmd_info(args):
     from .tonemap import TONE_MAPPERS
 
     if getattr(args, "volume", None):
+        import os
+
         from .io import readers
 
+        if not args.volume.endswith((".bvp", ".zip")):
+            raise SystemExit(
+                f"info --volume expects a .bvp/.zip archive with a "
+                f"manifest, got: {args.volume}")
+        if not os.path.exists(args.volume):
+            raise SystemExit(f"no such file: {args.volume}")
         mods = readers.list_modalities(readers.BVPReader(args.volume))
         print(f"modalities in {args.volume}:")
         for m in mods:

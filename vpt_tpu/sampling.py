@@ -238,6 +238,10 @@ def sample_volume_packed(packed, shape, position):
     return cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
 
 
+# Max rows per MXU one-hot matmul; (rows, TW) weights cap at ~128 MB bf16.
+_MXU_CHUNK_ROWS = 1 << 18
+
+
 def pack_mxu_transfer(transfer, dtype=jnp.bfloat16):
     """(TH, TW, 4) transfer function → (TW, 4) MXU lookup table.
 
@@ -259,11 +263,30 @@ def sample_transfer_1d_mxu(table, value):
     the same order as the reference's 8-bit TF texture coordinates)."""
     tw, c = table.shape
     u = jnp.clip(value * tw - 0.5, 0.0, tw - 1.0)
-    flat = u.reshape(-1, 1)                              # (N, 1)
-    idx = jax.lax.broadcasted_iota(jnp.float32, (flat.shape[0], tw), 1)
-    weights = jnp.clip(1.0 - jnp.abs(flat - idx), 0.0, 1.0)
-    out = jnp.dot(weights.astype(table.dtype), table,
-                  preferred_element_type=jnp.float32)
+    flat = u.reshape(-1)                                 # (N,)
+    # float32 tables must not quantize through default-bf16 TPU matmul
+    # operands; bf16 tables are the intentional quantized fast path.
+    precision = (jax.lax.Precision.HIGHEST
+                 if table.dtype == jnp.float32 else None)
+
+    def lookup(rows):
+        idx = jax.lax.broadcasted_iota(jnp.float32, (rows.shape[0], tw), 1)
+        weights = jnp.clip(1.0 - jnp.abs(rows[:, None] - idx), 0.0, 1.0)
+        return jnp.dot(weights.astype(table.dtype), table,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    # The (N, TW) one-hot weight matrix is the whole HBM cost of this path;
+    # cap it by looping the matmul over row chunks for very large batches
+    # (march renderers flatten 8·H·W rows at once).
+    n, chunk = flat.shape[0], _MXU_CHUNK_ROWS
+    if n <= chunk:
+        out = lookup(flat)
+    else:
+        pad = (-n) % chunk
+        padded = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        out = jax.lax.map(lookup, padded.reshape(-1, chunk))
+        out = out.reshape(-1, c)[:n]
     return out.reshape(value.shape + (c,))
 
 
