@@ -1,11 +1,21 @@
-"""Benchmark: MCM photon-event throughput on the flagship renderer.
+"""Benchmark: MCM throughput on the flagship renderer.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Metric: null-collision tracking events per second for the MCM renderer
-(pixels × steps × frames / wall time) on one chip — the reference publishes
-no numbers (BASELINE.md), so vs_baseline is measured against the north-star
-target of 1e9 rays/s aggregate on a v5p-16 (8 chips) => 1.25e8 events/s/chip.
+Two rates are measured and reported (BENCH_NOTES.md "Metric definitions"):
+
+- **events/s** — null-collision tracking events (pixels × steps × frames /
+  wall time): the machine-throughput measure; every event costs one volume
+  gather + VPU event logic regardless of the scene.
+- **paths/s** — completed photon paths (growth of the per-pixel ``samples``
+  counters / wall time): the "rays/s" of the north-star target.  Scene-
+  dependent (mean path length = events/paths varies with opacity), so it is
+  reported alongside, not instead.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` divides
+events/s by the north-star 1e9 rays/s aggregate on a v5p-16 (8 chips)
+=> 1.25e8 per chip; ``paths_vs_baseline`` is the stricter ratio using
+completed paths as the ray metric.
 """
 
 from __future__ import annotations
@@ -40,30 +50,34 @@ def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
 
 
 def time_config(scene, steps: int, frames: int,
-                height: int = 512, width: int = 512) -> float:
+                height: int = 512, width: int = 512) -> tuple[float, float]:
+    """Returns (events/s, paths/s) for one MCM config."""
     from vpt_tpu.renderers import mcm
 
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
     state = mcm.reset(params, height, width, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
+    total_samples = jax.jit(lambda s: jnp.sum(s["samples"], dtype=jnp.float64
+                                              if jax.config.jax_enable_x64
+                                              else jnp.float32))
 
     def sync(s):
         # device→host copy forces completion (block_until_ready does not
         # reliably block on tunneled PJRT backends)
         import numpy as np
-        return np.asarray(s["samples"][:1, :1])
+        return float(np.asarray(total_samples(s)))
 
     # warmup / compile
     state = frame_fn(state, scene, params, jnp.float32(0.123), jnp.int32(1))
-    sync(state)
+    paths0 = sync(state)
 
     t0 = time.perf_counter()
     for i in range(frames):
         state = frame_fn(state, scene, params,
                          jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
-    sync(state)
+    paths1 = sync(state)
     dt = time.perf_counter() - t0
-    return height * width * steps * frames / dt
+    return (height * width * steps * frames / dt, (paths1 - paths0) / dt)
 
 
 def main():
@@ -87,17 +101,23 @@ def main():
     # best sustained event rate; the other config goes to stderr.
     rates = {s: time_config(scene, steps=s, frames=f)
              for s, f in ((8, 30), (32, 15))}
-    for s, r in rates.items():
-        print(f"# steps={s}: {r / 1e6:.1f}M events/s", file=sys.stderr)
+    for s, (ev, pa) in rates.items():
+        print(f"# steps={s}: {ev / 1e6:.1f}M events/s, "
+              f"{pa / 1e6:.1f}M paths/s "
+              f"(mean path length {ev / max(pa, 1.0):.2f} events)",
+              file=sys.stderr)
 
-    best_steps = max(rates, key=rates.get)
-    events_per_s = rates[best_steps]
+    best_steps = max(rates, key=lambda s: rates[s][0])
+    events_per_s, paths_per_s = rates[best_steps]
     baseline_per_chip = 1e9 / 8.0  # north-star aggregate / v5p-16 chips
     print(json.dumps({
         "metric": "mcm_events_per_s",
         "value": round(events_per_s),
         "unit": "events/s",
         "vs_baseline": round(events_per_s / baseline_per_chip, 4),
+        "paths_per_s": round(paths_per_s),
+        "paths_vs_baseline": round(paths_per_s / baseline_per_chip, 4),
+        "mean_path_events": round(events_per_s / max(paths_per_s, 1.0), 3),
     }))
 
 
