@@ -5,6 +5,12 @@ prints one JSON line per config — the single-chip complement of
 ``benchmarks/scaling.py`` (BASELINE configs 2–4 are 256³ volumes and
 1024² images; ``bench.py`` pins the 512²/128³ headline).
 
+Each config also reports paths/s (completed deposits — the ray metric);
+``majorant=N`` rows run the local-majorant tracking machine
+(make_scene(majorant_grid=N), skipgrid.py): same converged image, different
+event distribution — iterations/s stays at the gather floor but paths
+complete in far fewer iterations on sparse volumes.
+
 Usage: python benchmarks/configs.py [--frames 20]
 """
 
@@ -19,34 +25,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_config(res: int, vol_n: int, steps: int, frames: int) -> dict:
+def bench_config(res: int, vol_n: int, steps: int, frames: int,
+                 majorant: int | None = None) -> dict:
     from vpt_tpu import transfer, volume
     from vpt_tpu.renderers import make_scene, mcm
 
     vol = volume.sphere_volume(vol_n)
     tf = transfer.gray_ramp(alpha_scale=0.8)
-    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
+    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True,
+                       majorant_grid=majorant)
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
     state = mcm.reset(params, res, res, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
+    total_samples = jax.jit(lambda s: jnp.sum(s["samples"]))
 
     def sync(s):
-        return np.asarray(s["samples"][:1, :1])
+        return float(np.asarray(total_samples(s)))
 
     state = frame_fn(state, scene, params, jnp.float32(0.1), jnp.int32(1))
-    sync(state)
+    paths0 = sync(state)
     t0 = time.perf_counter()
     for i in range(frames):
         state = frame_fn(state, scene, params,
                          jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
-    sync(state)
+    paths1 = sync(state)
     dt = time.perf_counter() - t0
     events = res * res * steps * frames
+    name = f"{res}x{res}/{vol_n}^3/steps{steps}"
+    if majorant:
+        name += f"/majorant{majorant}"
     return {
         "metric": "mcm_events_per_s",
-        "config": f"{res}x{res}/{vol_n}^3/steps{steps}",
+        "config": name,
         "value": round(events / dt),
         "unit": "events/s",
+        "paths_per_s": round((paths1 - paths0) / dt),
         "ms_per_frame": round(dt / frames * 1e3, 2),
     }
 
@@ -62,19 +75,26 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from bench import probe_backend  # repo root on sys.path
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import probe_backend
 
     probe_backend()
     configs = [
-        (512, 128, 8),      # bench.py headline
-        (512, 128, 32),     # deeper event budget per jit step
-        (1024, 128, 8),     # BASELINE config-4 image size
-        (512, 256, 8),      # BASELINE config-2/3 volume size
-        (1024, 256, 8),
+        (512, 128, 8, None),      # bench.py headline
+        (512, 128, 32, None),     # deeper event budget per jit step
+        (512, 128, 8, 16),        # + local-majorant tracking
+        (1024, 128, 8, None),     # BASELINE config-4 image size
+        (512, 256, 8, None),      # BASELINE config-2/3 volume size
+        (512, 256, 8, 16),        # + local-majorant tracking
+        (1024, 256, 8, None),
+        (1024, 256, 8, 16),
     ]
-    for res, vol_n, steps in configs:
-        print(json.dumps(bench_config(res, vol_n, steps, args.frames)),
-              flush=True)
+    for res, vol_n, steps, majorant in configs:
+        print(json.dumps(bench_config(res, vol_n, steps, args.frames,
+                                      majorant)), flush=True)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,7 @@ class HaloScene:
         self.model_view = model_view
         self.projection = projection
         self.axis = axis
+        self.majorant = None   # local-majorant tracking: replicated-scene only
 
     # -- trilinear over the local slab with ownership masking --------------
     def _sample(self, position):

@@ -48,6 +48,8 @@ def sharded_scene(scene: Scene, mesh: Mesh,
                         if scene.transfer_banks is not None else None),
         transfer_mxu=(jax.device_put(scene.transfer_mxu, rep)
                       if scene.transfer_mxu is not None else None),
+        majorant=(jax.device_put(scene.majorant, rep)
+                  if scene.majorant is not None else None),
         filter=scene.filter,
     )
 

@@ -82,13 +82,15 @@ class Scene:
     transfer_packed: Any = None       # (TH·TW, 16) or None
     transfer_banks: Any = None        # (n_banks·4, 128) lane-shuffle table
     transfer_mxu: Any = None          # (TW, 4) MXU one-hot lookup table
+    majorant: Any = None              # (N, N, N, 2) [maxalpha, chebdist]
     filter: str = "linear"            # volume filter (static)
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
-                self.transfer_banks, self.transfer_mxu), self.filter
+                self.transfer_banks, self.transfer_mxu,
+                self.majorant), self.filter
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -187,7 +189,8 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
                pack: Optional[bool] = None, pack_dtype=None,
                tf_banks: bool = False, tf_mxu: bool = False,
-               tf_srgb: bool = False) -> Scene:
+               tf_srgb: bool = False,
+               majorant_grid: Optional[int] = None) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -208,6 +211,15 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     Lerp fractions quantize to the table dtype (bf16 ≈ the reference's
     8-bit TF texture coordinates), so it is an opt-in fast path like
     ``pack_dtype=bfloat16``.
+    ``majorant_grid``: build an N³ super-voxel majorant grid
+    (skipgrid.build_majorant_grid) so the tracking renderers sample free
+    paths against each cell's conservative local majorant (with DDA
+    boundary hops and multi-cell jumps through exactly-empty space)
+    instead of the global extinction.  Distributionally the same
+    null-collision estimator, but it consumes a different per-pixel RNG
+    stream than the GLSL-exact base machine, so it is opt-in;
+    single-channel volumes with dims divisible by N only (silently
+    ignored otherwise).
     ``tf_srgb``: run the TF through the reference's SRGB8_ALPHA8 texture
     semantics (8-bit quantize + sRGB→linear decode of the color channels,
     ``transfer.to_gl_texture``) before sampling.  Off by default — this
@@ -253,6 +265,12 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
             from ..pallas import tf1d
 
             transfer_banks, _ = tf1d.pack_table(transfer)
+    majorant = None
+    if majorant_grid:
+        from .. import skipgrid
+
+        majorant = skipgrid.build_majorant_grid(volume, transfer,
+                                                majorant_grid)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -264,6 +282,7 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         transfer_packed=transfer_packed,
         transfer_banks=transfer_banks,
         transfer_mxu=transfer_mxu,
+        majorant=majorant,
         filter=vol_filter,
     )
 

@@ -86,13 +86,41 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
     # per-pixel stream: hash(uvec3(bits(mapped.xy), bits(seed))) (glsl:128)
     rstate = rng.seed_pixels(mapped, jnp.asarray(seed, jnp.float32))
 
+    use_majorant = scene.majorant is not None
+
     def event(_, carry):
         ph, rstate = carry
-        rstate, dist = rng.exponential(rstate, params.extinction)
+        if use_majorant:
+            # local-majorant tracking (skipgrid.py): exponential flight vs
+            # the current cell's conservative majorant, DDA boundary hop
+            # when the tentative collision falls outside the cell (valid by
+            # memorylessness), ratio alpha/maxalpha in the classification.
+            from .. import skipgrid
+
+            mu, t_bound = skipgrid.flight_step(
+                scene.majorant, ph["position"], ph["direction"])
+            rstate, tau = rng.exponential(rstate, 1.0)
+            sigma = params.extinction * mu
+            t_coll = jnp.where(sigma > 0.0,
+                               tau / jnp.maximum(sigma, 1e-30), jnp.inf)
+            collide = t_coll < t_bound
+            # hops overshoot the boundary by the indexing nudge so the
+            # photon provably leaves the cell (and the cube: a photon
+            # parked exactly on the far face would otherwise hop by 0
+            # forever, since the oob test is strict)
+            dist = jnp.where(collide, t_coll,
+                             t_bound + skipgrid.EPS_NUDGE)
+        else:
+            rstate, dist = rng.exponential(rstate, params.extinction)
         position = ph["position"] + dist[..., None] * ph["direction"]
 
         vs = scene.sample_color(position)
         alpha = vs[..., 3]
+        if use_majorant:
+            # collision rate relative to the local majorant; the clip keeps
+            # boundary-sliver lookups (skipgrid.EPS_NUDGE) conservative
+            alpha = jnp.where(mu > 0.0,
+                              jnp.minimum(alpha / mu, 1.0), 0.0)
         p_null = 1.0 - alpha
         capped = ph["bounces"] >= params.max_bounces
         p_scatter = jnp.where(capped, 0.0, alpha * sampling.max3(vs[..., :3]))
@@ -100,8 +128,9 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
 
         rstate, fortune = rng.uniform(rstate)
         oob = jnp.any((position > 1.0) | (position < 0.0), axis=-1)
-        absorb = (~oob) & (fortune < p_absorb)
-        scatter = (~oob) & (~absorb) & (fortune < p_absorb + p_scatter)
+        interact = (~oob) if not use_majorant else ((~oob) & collide)
+        absorb = interact & (fortune < p_absorb)
+        scatter = interact & (~absorb) & (fortune < p_absorb + p_scatter)
         deposit = oob | absorb
 
         # radiance deposit: env radiance on escape, black on absorption,
