@@ -142,3 +142,32 @@ def test_diff_mcs_value_matches_analog():
     a = analog_generate(sc, params, jnp.float32(0.3), 8, 8)
     d = diff_mc.mcs_generate(sc, params, jnp.float32(0.3), 8, 8)
     assert np.allclose(np.asarray(a), np.asarray(d), atol=1e-5)
+
+
+def test_packed_in_graph_gradients_match_unpacked():
+    """fit_mc's fast path corner-packs the volume inside the differentiated
+    graph (benchmarks/backward.py); forward values must be bit-identical
+    and gradients allclose to the unpacked oracle."""
+    import dataclasses
+
+    vol = volume.sphere_volume(8)
+    from vpt_tpu import transfer
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    template = make_scene(vol, tf, pack=False)
+    params = mcm.Params(extinction=10.0, steps=8)
+
+    def loss(voxels, packed):
+        sc = dataclasses.replace(
+            template, volume=voxels,
+            volume_packed=(sampling.pack_corner_volume(voxels)
+                           if packed else None),
+            transfer_packed=(sampling.pack_corner_texture2d(
+                template.transfer) if packed else None))
+        img = diff_mc.mcm_expected_image(sc, params, 6, 6, frames=3)
+        return jnp.mean(img ** 2)
+
+    voxels = template.volume
+    v_u, g_u = jax.value_and_grad(lambda v: loss(v, False))(voxels)
+    v_p, g_p = jax.value_and_grad(lambda v: loss(v, True))(voxels)
+    assert float(v_u) == float(v_p)          # forward bit-identical
+    assert np.allclose(np.asarray(g_u), np.asarray(g_p), atol=1e-6)

@@ -151,7 +151,15 @@ def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
                        width: int, frames: int, seed0: float = 0.0):
     """Mean radiance over ``frames`` progressive frames, differentiable
     w.r.t. scene.volume / scene.transfer.  Seeds derive from the frame
-    index so the estimate is deterministic."""
+    index so the estimate is deterministic.
+
+    Deliberately NOT jax.checkpoint'ed: rematerializing the frames
+    recompiles the event chain in a different fusion context, where
+    borderline float comparisons can flip discrete MC branches — the
+    recomputed backward would then walk a *different* path tree than the
+    primal (measured: scan- vs unrolled-compiled frames differ in ~0.3%
+    of branch outcomes on CPU).  Residual storage keeps value and
+    gradient on the same sampled paths."""
     state = mcm_reset(params, height, width, scene, seed=seed0)
 
     def frame(i, st):
