@@ -1,0 +1,220 @@
+"""BASELINE config 3, end to end: MCM multiple scattering on a 256³ volume,
+voxel-density gradients, ≥1024 spp accumulated targets, recover a perturbed
+volume (VERDICT r1 "Next round" #3).
+
+Pipeline:
+1. Ground truth: 256³ Gaussian-blobs volume (volume.blobs_volume).
+2. Targets: MCM progressive renders from 3 orbit views, accumulated until
+   mean samples/pixel ≥ 1024 (the analog forward machine, bf16 fast path).
+3. Perturbation: truth box-blurred (13³) and dimmed 0.55× — geometry
+   smeared and extinction wrong.
+4. Recovery: SGD+momentum on the raw voxel grid through the detached-
+   decision MC estimator (diff_mc.mcm_expected_image) with in-graph
+   corner packing, multi-view A/B-split loss.
+5. Artifacts: loss curve + voxel-MSE numbers on stdout (and JSON), a
+   target/init/fitted gallery PNG per view.
+
+Variance control (measured at 64³ before scaling up):
+- **A/B-split loss** ``mean((A−t)(B−t))`` over two independent estimates:
+  a plain MSE on a few-frame MC estimate is dominated by the estimate's
+  own variance (measured loss(truth) ≈ loss(init)), so its gradient
+  optimizes the estimator's variance, not the match.  The split removes
+  the variance term (unbiased estimate of the squared bias).
+- **SGD+momentum, not Adam**: Adam's per-coordinate normalization turns
+  the noise-dominated gradients of rarely-visited voxels into lr-sized
+  random walks across the whole 16M-voxel grid (measured: voxel MSE
+  *rises* under Adam, falls monotonically under SGD+momentum).
+- diff_mc also exposes ``logw_clamp`` (score-weight clipping) as a
+  biased-but-bounded fallback; not needed for this config.
+
+Run (TPU): python examples/config3_mcm256.py
+Quick CPU check: python examples/config3_mcm256.py --platform cpu --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def box_blur(vol, k: int):
+    """Separable k³ mean filter with edge padding (the perturbation)."""
+    import jax.numpy as jnp
+
+    v = vol[..., 0]
+    for axis in range(3):
+        pad = [(0, 0)] * 3
+        pad[axis] = (k // 2, k // 2)
+        vp = jnp.pad(v, pad, mode="edge")
+        kernel_shape = [1, 1, 1]
+        kernel_shape[axis] = k
+        from jax import lax
+        v = lax.reduce_window(vp, 0.0, lax.add, tuple(kernel_shape),
+                              (1, 1, 1), "VALID") / k
+    return v[..., None]
+
+
+def orbit_cameras(yaws_deg):
+    import math
+
+    from vpt_tpu.runtime.animators import OrbitCameraAnimator
+    from vpt_tpu.scene import CameraState, default_camera
+
+    out = []
+    for yaw in yaws_deg:
+        cam = default_camera()
+        orbit = OrbitCameraAnimator(cam)
+        orbit.yaw = math.radians(yaw)
+        orbit._update_camera()
+        out.append(CameraState.from_nodes(cam))
+    return out
+
+
+def render_target(vol, tf, cam, params, res, min_spp, label):
+    """Progressive analog MCM until mean samples/pixel >= min_spp."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.renderers import make_scene, mcm
+
+    scene = make_scene(vol, tf, camera=cam, pack_dtype=jnp.bfloat16,
+                       tf_mxu=True)
+    state = mcm.reset(params, res, res, scene)
+    frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
+    i, spp = 0, 0.0
+    t0 = time.perf_counter()
+    while spp < min_spp:
+        for _ in range(64):
+            i += 1
+            state = frame_fn(state, scene, params,
+                             jnp.float32(0.1 + 0.003 * i), jnp.int32(i))
+        spp = float(np.asarray(jnp.mean(state["samples"])))
+    dt = time.perf_counter() - t0
+    print(f"  {label}: {spp:.0f} spp in {i} frames, {dt:.1f}s "
+          f"({res * res * params.steps * i / dt / 1e6:.1f}M events/s)")
+    return np.asarray(state["radiance"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="64^3 volume / 64^2 images / small budgets (CPU)")
+    ap.add_argument("--out", default="examples/config3_gallery.png")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="SGD lr; default 30·(n/64) — per-voxel gradient "
+                         "magnitude scales with events per voxel, so the "
+                         "lr must scale with voxel count / pixel count")
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    from vpt_tpu import sampling, tonemap, transfer, volume
+    from vpt_tpu.io.image import write_png
+    from vpt_tpu.renderers import diff_mc, make_scene
+    from vpt_tpu.renderers import mcm as mcm_mod
+
+    n = 64 if args.quick else 256
+    res = 64 if args.quick else 256
+    min_spp = 64 if args.quick else 1024
+    opt_steps = args.steps or (10 if args.quick else 300)
+    grad_frames = 2 if args.quick else 4
+    lr = args.lr or 30.0 * (n / 64.0)
+
+    truth = volume.blobs_volume(n, seed=3, count=6).data
+    tf = transfer.gray_ramp(alpha_scale=0.9)
+    params = mcm_mod.Params(extinction=25.0, anisotropy=0.2, steps=8)
+    cams = orbit_cameras((0.0, 120.0, 240.0))
+
+    print(f"config 3: {n}^3 volume, {res}^2 images, 3 views, "
+          f">= {min_spp} spp targets")
+    t_all = time.perf_counter()
+    targets = [render_target(truth, tf, cam, params, res, min_spp,
+                             f"target view {i}")
+               for i, cam in enumerate(cams)]
+
+    init = jnp.clip(0.55 * box_blur(truth, 13), 0.0, 1.0)
+    voxel_mse0 = float(jnp.mean((init - truth) ** 2))
+    templates = [make_scene(truth, tf, camera=cam, pack=False)
+                 for cam in cams]
+    targets_j = jnp.stack([jnp.asarray(t) for t in targets])
+
+    def loss_fn(voxels, seed0):
+        packed = sampling.pack_corner_volume(voxels)
+        tot = 0.0
+        for vi, tmpl in enumerate(templates):
+            sc = dataclasses.replace(
+                tmpl, volume=voxels, volume_packed=packed,
+                transfer_packed=sampling.pack_corner_texture2d(
+                    tmpl.transfer))
+            a = diff_mc.mcm_expected_image(
+                sc, params, res, res, grad_frames,
+                seed0=seed0 + 7.0 * vi)
+            b = diff_mc.mcm_expected_image(
+                sc, params, res, res, grad_frames,
+                seed0=seed0 + 7.0 * vi + 131.9)
+            tot = tot + jnp.mean((a - targets_j[vi])
+                                 * (b - targets_j[vi]))
+        return tot / len(templates)
+
+    optimizer = optax.sgd(lr, momentum=0.9)
+    opt_state = optimizer.init(init)
+    step_fn = jax.jit(jax.value_and_grad(loss_fn))
+    vol_fit = init
+    losses = []
+    t_fit = time.perf_counter()
+    for s in range(opt_steps):
+        loss, g = step_fn(vol_fit, 0.31 * s)
+        updates, opt_state = optimizer.update(g, opt_state, vol_fit)
+        vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates), 0.0, 1.0)
+        losses.append(float(loss))
+        if s % 10 == 0 or s == opt_steps - 1:
+            print(f"  step {s:4d}: A/B image loss {losses[-1]:+.6f}  "
+                  f"voxel MSE {float(jnp.mean((vol_fit - truth) ** 2)):.6f}")
+    fit_dt = time.perf_counter() - t_fit
+    voxel_mse1 = float(jnp.mean((vol_fit - truth) ** 2))
+
+    # gallery: rows = views, cols = target / init render / fitted render
+    tm = tonemap.get("aces")
+    rows = []
+    for vi, cam in enumerate(cams):
+        row = [targets[vi]]
+        for v in (init, vol_fit):
+            row.append(render_target(v, tf, cam, params, res,
+                                     min_spp // 4, f"gallery v{vi}"))
+        rows.append(np.concatenate(
+            [np.clip(np.asarray(tm(jnp.asarray(r))), 0, 1)[..., :3]
+             for r in row], axis=1))
+    gallery = np.concatenate(rows, axis=0)
+    write_png(args.out, np.concatenate(
+        [gallery, np.ones(gallery.shape[:2] + (1,), np.float32)], axis=-1))
+
+    summary = {
+        "config": f"mcm/{n}^3/{res}^2/3views/{min_spp}spp",
+        "image_mse_first": losses[0], "image_mse_last": losses[-1],
+        "voxel_mse_init": voxel_mse0, "voxel_mse_fitted": voxel_mse1,
+        "fit_seconds": round(fit_dt, 1),
+        "seconds_per_step": round(fit_dt / opt_steps, 2),
+        "total_seconds": round(time.perf_counter() - t_all, 1),
+        "gallery": args.out,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

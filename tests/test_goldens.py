@@ -23,14 +23,16 @@ RES = 48
 FRAMES = {"mcs": 4, "mcm": 4}
 
 
-def _scene():
+def _scene(tf_srgb=False):
     return make_scene(volume.blobs_volume(24, seed=7),
-                      transfer.gray_ramp(alpha_scale=0.9), pack=True)
+                      transfer.gray_ramp(alpha_scale=0.9), pack=True,
+                      tf_srgb=tf_srgb)
 
 
-def _render(key):
+def _render(key, tf_srgb=False):
     r = make_renderer(key, height=RES, width=RES)
-    img = r.render_progressive(_scene(), frames=FRAMES.get(key, 2), seed0=11)
+    img = r.render_progressive(_scene(tf_srgb), frames=FRAMES.get(key, 2),
+                               seed0=11)
     return np.asarray(img, np.float32)
 
 
@@ -47,12 +49,31 @@ def test_matches_golden(key):
         key, float(np.abs(got - golden).max()))
 
 
+def test_matches_golden_tf_srgb():
+    """Pin the reference-GL-semantics mode (SRGB8_ALPHA8 TF texture:
+    8-bit quantize + sRGB decode, transfer.to_gl_texture) — the tf_srgb
+    compute path must stay bit-stable too (VERDICT r1 missing #2)."""
+    path = GOLDEN_DIR / "eam_srgb.npz"
+    if not path.exists():
+        pytest.skip(f"golden {path} missing — run regenerate")
+    golden = np.load(path)["image"]
+    got = _render("eam", tf_srgb=True)
+    assert np.allclose(got, golden, atol=2e-5), (
+        float(np.abs(got - golden).max()))
+    # and it must actually differ from the linear-TF golden
+    linear = np.load(GOLDEN_DIR / "eam.npz")["image"]
+    assert not np.allclose(golden, linear, atol=1e-3)
+
+
 def regenerate():
     GOLDEN_DIR.mkdir(exist_ok=True)
     for key in sorted(MODULES):
         img = _render(key)
         np.savez_compressed(GOLDEN_DIR / f"{key}.npz", image=img)
         print(f"wrote goldens/{key}.npz  mean={img[..., :3].mean():.4f}")
+    img = _render("eam", tf_srgb=True)
+    np.savez_compressed(GOLDEN_DIR / "eam_srgb.npz", image=img)
+    print(f"wrote goldens/eam_srgb.npz  mean={img[..., :3].mean():.4f}")
 
 
 if __name__ == "__main__":

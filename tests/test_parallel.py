@@ -276,3 +276,42 @@ def test_dos_halo_rejects_camera_inside_volume(scene):
     mesh = make_mesh(8, space=1, axes=("data",))
     with pytest.raises(ValueError, match="unbounded|halo"):
         dos_halo.sharded_render_frame(mesh, sc, dos.Params(), 64, 64)
+
+
+def test_device_grid_topology_aware():
+    """make_mesh groups devices by process so space-rows stay intra-host
+    (ICI) and each host's data rows are contiguous (one DCN crossing per
+    host in hierarchical reductions) — VERDICT r1 'Next round' #9."""
+    import dataclasses
+
+    from vpt_tpu.parallel.mesh import device_grid
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeDev:
+        process_index: int
+        id: int
+
+    # 2 hosts x 4 devices, deliberately interleaved/shuffled input order
+    devs = [FakeDev(p, i) for i in range(4) for p in (1, 0)]
+    grid = device_grid(devs, space=2)
+    assert grid.shape == (4, 2)
+    # every space-row lies within a single process
+    for row in grid:
+        assert len({d.process_index for d in row}) == 1
+    # data rows are process-contiguous: host 0 rows first, then host 1
+    procs = [row[0].process_index for row in grid]
+    assert procs == [0, 0, 1, 1]
+    # within a host, device ids are in order
+    assert [d.id for d in grid[0]] == [0, 1]
+    assert [d.id for d in grid[1]] == [2, 3]
+
+    # non-divisible per-process counts warn but still build
+    import warnings
+
+    devs3 = [FakeDev(0, 0), FakeDev(0, 1), FakeDev(0, 2),
+             FakeDev(1, 0), FakeDev(1, 1), FakeDev(1, 2)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        grid3 = device_grid(devs3, space=2)
+    assert grid3.shape == (3, 2)
+    assert any("per-process" in str(x.message) for x in w)

@@ -25,21 +25,52 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def device_grid(devices, space: int = 1):
+    """Topology-aware (data, space) device grid.
+
+    Devices are ordered by (process_index, id) so that, whenever ``space``
+    divides the per-process device count, every ``space``-row (the axis
+    that runs the per-frame halo/ownership psum) lies within a single
+    process — those collectives ride ICI — and the data-axis rows of one
+    process are contiguous, so data reductions cross DCN once per host
+    (hierarchical) instead of per pair.  This is what makes
+    distributed.default_mesh's "ICI-major" claim true by construction."""
+    devices = sorted(devices,
+                     key=lambda d: (d.process_index, getattr(d, "id", 0)))
+    n = len(devices)
+    if n % space != 0:
+        raise ValueError(f"{n} devices not divisible by space={space}")
+    per_proc = {}
+    for d in devices:
+        per_proc[d.process_index] = per_proc.get(d.process_index, 0) + 1
+    if any(c % space for c in per_proc.values()) and len(per_proc) > 1:
+        import warnings
+
+        warnings.warn(
+            f"space={space} does not divide the per-process device counts "
+            f"{per_proc}; space-axis collectives will cross hosts",
+            stacklevel=2)
+    return np.array(devices).reshape(n // space, space)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("data", "space"),
-              space: int = 1) -> Mesh:
-    """Mesh over the first ``n_devices`` devices, shaped
-    (n_devices // space, space)."""
-    devices = jax.devices()
+              space: int = 1, devices=None) -> Mesh:
+    """Mesh over ``n_devices`` devices, shaped (n_devices // space, space),
+    with the topology-aware ordering of :func:`device_grid`."""
+    if devices is None:
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
-    if n_devices % space != 0:
-        raise ValueError(f"{n_devices} devices not divisible by space={space}")
     if len(axes) == 1:
-        grid = np.array(devices)
+        if n_devices % space != 0:
+            raise ValueError(
+                f"{n_devices} devices not divisible by space={space}")
+        grid = np.array(sorted(
+            devices, key=lambda d: (d.process_index, getattr(d, "id", 0))))
     else:
-        grid = np.array(devices).reshape(n_devices // space, space)
+        grid = device_grid(devices, space)
     return Mesh(grid, axis_names=tuple(axes))
 
 

@@ -47,12 +47,17 @@ def _ratio(p, eps=1e-8):
 
 
 def mcm_render_frame(state, scene: Scene, params: MCMParams, seed,
-                     frame_number):
+                     frame_number, logw_clamp: float | None = None):
     """Differentiable twin of mcm.render_frame: identical event chain and
     RNG stream, with per-path ratio weights folded into the deposits.
 
     The extra per-pixel carry ``logw`` accumulates Σ log w_k along the
-    current path and resets with the photon."""
+    current path and resets with the photon.
+
+    ``logw_clamp``: clip the accumulated score log-weight to ±clamp —
+    biased but variance-bounded gradients for long multiple-scattering
+    paths (the standard weight-clamping variance control; None = unbiased).
+    Values are unaffected (w == 1 in value either way)."""
     height, width = state["position"].shape[:2]
     ndc = sampling.pixel_ndc(height, width)
     mapped = ndc * 0.5 + 0.5
@@ -89,6 +94,8 @@ def mcm_render_frame(state, scene: Scene, params: MCMParams, seed,
                                       jnp.where(oob, 1.0, p_null)))
         logw_ev = jnp.log(_ratio(p_taken))
         logw = logw + jnp.where(oob, 0.0, logw_ev)
+        if logw_clamp is not None:
+            logw = jnp.clip(logw, -logw_clamp, logw_clamp)
 
         env = scene.sample_env(ph["direction"])
         # path weight: exp(logw) == 1 in value, carries the score gradient
@@ -148,7 +155,8 @@ def mcm_reset(params: MCMParams, height: int, width: int, scene: Scene,
 
 
 def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
-                       width: int, frames: int, seed0: float = 0.0):
+                       width: int, frames: int, seed0: float = 0.0,
+                       logw_clamp: float | None = None):
     """Mean radiance over ``frames`` progressive frames, differentiable
     w.r.t. scene.volume / scene.transfer.  Seeds derive from the frame
     index so the estimate is deterministic.
@@ -165,7 +173,8 @@ def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
     def frame(i, st):
         seed = rng.pcg(jnp.uint32(i) + rng.float_bits_to_uint(
             jnp.float32(seed0))).astype(jnp.float32) / jnp.float32(2 ** 32)
-        return mcm_render_frame(st, scene, params, seed, i + 1)
+        return mcm_render_frame(st, scene, params, seed, i + 1,
+                                logw_clamp=logw_clamp)
 
     state = lax.fori_loop(0, frames, frame, state)
     return state["radiance"]
