@@ -40,7 +40,7 @@ COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 def count_collectives(compiled) -> dict:
     hlo = compiled.as_text()
     counts = {}
-    for op in COLLECTIVES:
+    for op in COLLECTIVES + ("gather", "scatter"):
         # count op *instructions* (lines like "%x = ... all-reduce(...")
         n = len(re.findall(rf"= \S* ?{op}(?:-start)?\(", hlo))
         if n:
@@ -65,6 +65,23 @@ def mcm_frame(mesh, shard_volume):
     lowered = jax.jit(
         lambda st, sc, seed, fr: frame_fn(st, sc, params, seed, fr)
     ).lower(state, scene, jnp.float32(0.5), jnp.int32(1))
+    return lowered.compile()
+
+
+def halo_frame(mesh, packed):
+    """MCM over a z-slab halo-sharded volume (parallel/halo.py)."""
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.parallel.halo import sharded_render_frame
+    from vpt_tpu.renderers import make_scene, mcm
+
+    scene = make_scene(volume.sphere_volume(16),
+                       transfer.gray_ramp(alpha_scale=1.0), pack=packed)
+    params = mcm.Params(extinction=10.0, steps=4)
+    state = mcm.reset(params, 32, 32, scene)
+    frame_fn, slabs = sharded_render_frame(mcm, mesh, scene, 2, state)
+    lowered = jax.jit(
+        lambda st, sl, seed, fr: frame_fn(st, sl, params, seed, fr)
+    ).lower(state, slabs, jnp.float32(0.5), jnp.int32(1))
     return lowered.compile()
 
 
@@ -123,6 +140,10 @@ def main():
         mcm_frame(mesh, shard_volume=False))
     results["mcm_frame_z_sharded_volume"] = count_collectives(
         mcm_frame(mesh, shard_volume=True))
+    results["mcm_frame_halo_unpacked"] = count_collectives(
+        halo_frame(mesh, packed=False))
+    results["mcm_frame_halo_packed"] = count_collectives(
+        halo_frame(mesh, packed=True))
     results["train_step_monolithic"] = count_collectives(
         train_step(mesh, bucketed=False))
     results["train_step_bucketed"] = count_collectives(

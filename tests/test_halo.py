@@ -17,10 +17,12 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
 
-@pytest.fixture(scope="module")
-def scene():
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["unpacked", "corner-packed"])
+def scene(request):
     return make_scene(volume.blobs_volume(16, seed=5),
-                      transfer.gray_ramp(alpha_scale=1.0), pack=False)
+                      transfer.gray_ramp(alpha_scale=1.0),
+                      pack=request.param)
 
 
 def test_shard_volume_with_halo_layout(scene):
@@ -87,6 +89,7 @@ def test_halo_scene_sampler_matches_dense(scene):
         hs.num_slabs = num_slabs
         hs.volume_shape = scene.volume.shape
         hs.axis = None
+        hs.slab_packed = None
 
         # monkeypatch psum away for the single-process check
         d, h, w, c = hs.volume_shape
