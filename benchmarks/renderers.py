@@ -61,6 +61,8 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import probe_backend
 
     probe_backend()

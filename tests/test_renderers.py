@@ -326,3 +326,25 @@ def test_lao_num_samples_changes_output(scene64):
     a = lao.generate(scene64, p1, jnp.float32(0.1), 24, 24)
     b = lao.generate(scene64, p4, jnp.float32(0.1), 24, 24)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dos_shifted_taps_match_gather_sampler():
+    """The gather-free shifted-bilinear occlusion taps must match per-tap
+    sample_texture2d fetches (including CLAMP_TO_EDGE at the borders and
+    large offsets that clip whole rows)."""
+    from vpt_tpu.renderers import dos
+
+    rng_np = np.random.default_rng(4)
+    h = w = 24
+    occ = jnp.asarray(rng_np.uniform(0, 1, (h, w)).astype(np.float32))
+    offsets = dos._occlusion_samples(8)
+    ndc = sampling.pixel_ndc(h, w)
+    mapped = ndc * 0.5 + 0.5
+    for scale in ([0.01, 0.015], [0.2, 0.3], [1.5, 1.5]):
+        sc = jnp.asarray(scale, jnp.float32)
+        got = np.asarray(dos._shifted_occlusion_taps(occ, offsets, sc))
+        taps = mapped[None] + offsets[:, None, None, :] * sc
+        ref = np.asarray(jnp.mean(
+            sampling.sample_texture2d(occ[..., None], taps)[..., 0],
+            axis=0))
+        assert np.allclose(got, ref, atol=1e-6), scale
