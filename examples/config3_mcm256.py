@@ -24,8 +24,9 @@ Variance control (measured at 64³ before scaling up):
   the noise-dominated gradients of rarely-visited voxels into lr-sized
   random walks across the whole 16M-voxel grid (measured: voxel MSE
   *rises* under Adam, falls monotonically under SGD+momentum).
-- diff_mc also exposes ``logw_clamp`` (score-weight clipping) as a
-  biased-but-bounded fallback; not needed for this config.
+- diff_mc also exposes ``score_floor`` (drops the 1/p score tail of
+  low-probability decisions) as a biased-but-bounded fallback; not
+  needed for this config.
 
 Run (TPU): python examples/config3_mcm256.py
 Quick CPU check: python examples/config3_mcm256.py --platform cpu --quick

@@ -21,9 +21,13 @@ score part through the weights.  This is the standard detached-decision
 estimator for delta tracking (cf. weighted delta-tracking literature and the
 reference's analog null-collision loop, MCMRenderer.glsl:129-166).
 
-Variance note: score-function terms are noisy; gradient tests validate the
-*mean* gradient over many samples against finite differences of the mean
-(SURVEY.md §4.3), not per-sample values.
+Variance note: score-function terms are noisy; ``score_floor`` drops the
+score contribution of low-probability decisions (the 1/p variance tail) —
+see _ratio.  Gradient validation is split (tests/test_gradient_oracles.py):
+the pathwise part against common-random-numbers finite differences at
+FD-truncation tolerance, the score part against an exact closed-form
+enumeration oracle; the statistical mean-gradient tests (test_diff_mc.py,
+SURVEY.md §4.3) cover the combined estimator end to end.
 """
 
 from __future__ import annotations
@@ -40,24 +44,42 @@ from .mcs import Params as MCSParams
 sg = lax.stop_gradient
 
 
-def _ratio(p, eps=1e-8):
-    """p / stop_grad(p): value 1, gradient d log p."""
-    p = jnp.maximum(p, eps)
+def _ratio(p, eps=1e-8, floor=None):
+    """p / stop_grad(p): value 1, gradient d log p.
+
+    ``floor``: drop the score contribution of decisions with probability
+    below the floor (``max(p, floor)`` — value still exactly 1, gradient
+    magnitude bounded by |p'|/floor).  Low-probability decisions carry the
+    large 1/p score factors that dominate estimator variance, so this is
+    the standard value-preserving variance control for likelihood-ratio
+    gradients.  ``floor >= 1`` drops every score term, isolating the
+    pathwise gradient (used by the CRN finite-difference oracle,
+    tests/test_gradient_oracles.py).
+
+    Note a value-level clip of the accumulated log-weight CANNOT implement
+    this: Σ log(p/sg(p)) is identically zero in value, so clipping it to
+    ±c is a gradient no-op for c > 0 and only freezes c == 0 through
+    JAX's tie-gradient convention at the clip boundary (measured: it
+    leaked a fraction of the score into the "frozen" gradient)."""
+    if floor is not None and floor >= 1.0:
+        return jnp.ones_like(p)
+    p = jnp.maximum(p, eps if floor is None else max(eps, floor))
     return p / sg(p)
 
 
 def mcm_render_frame(state, scene: Scene, params: MCMParams, seed,
-                     frame_number, logw_clamp: float | None = None):
+                     frame_number, score_floor: float | None = None):
     """Differentiable twin of mcm.render_frame: identical event chain and
     RNG stream, with per-path ratio weights folded into the deposits.
 
     The extra per-pixel carry ``logw`` accumulates Σ log w_k along the
     current path and resets with the photon.
 
-    ``logw_clamp``: clip the accumulated score log-weight to ±clamp —
-    biased but variance-bounded gradients for long multiple-scattering
-    paths (the standard weight-clamping variance control; None = unbiased).
-    Values are unaffected (w == 1 in value either way)."""
+    ``score_floor``: drop the score term of decisions with probability
+    below the floor (see _ratio) — biased but variance-bounded gradients
+    for long multiple-scattering paths; ``>= 1`` freezes the score part
+    entirely (pathwise-only gradients).  None = unbiased.  Values are
+    unaffected in every mode (w == 1 in value)."""
     height, width = state["position"].shape[:2]
     ndc = sampling.pixel_ndc(height, width)
     mapped = ndc * 0.5 + 0.5
@@ -92,10 +114,8 @@ def mcm_render_frame(state, scene: Scene, params: MCMParams, seed,
         p_taken = jnp.where(absorb, p_absorb,
                             jnp.where(scatter, p_scatter,
                                       jnp.where(oob, 1.0, p_null)))
-        logw_ev = jnp.log(_ratio(p_taken))
+        logw_ev = jnp.log(_ratio(p_taken, floor=score_floor))
         logw = logw + jnp.where(oob, 0.0, logw_ev)
-        if logw_clamp is not None:
-            logw = jnp.clip(logw, -logw_clamp, logw_clamp)
 
         env = scene.sample_env(ph["direction"])
         # path weight: exp(logw) == 1 in value, carries the score gradient
@@ -156,7 +176,7 @@ def mcm_reset(params: MCMParams, height: int, width: int, scene: Scene,
 
 def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
                        width: int, frames: int, seed0: float = 0.0,
-                       logw_clamp: float | None = None):
+                       score_floor: float | None = None):
     """Mean radiance over ``frames`` progressive frames, differentiable
     w.r.t. scene.volume / scene.transfer.  Seeds derive from the frame
     index so the estimate is deterministic.
@@ -174,7 +194,7 @@ def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
         seed = rng.pcg(jnp.uint32(i) + rng.float_bits_to_uint(
             jnp.float32(seed0))).astype(jnp.float32) / jnp.float32(2 ** 32)
         return mcm_render_frame(st, scene, params, seed, i + 1,
-                                logw_clamp=logw_clamp)
+                                score_floor=score_floor)
 
     state = lax.fori_loop(0, frames, frame, state)
     return state["radiance"]
@@ -185,10 +205,15 @@ def mcm_expected_image(scene: Scene, params: MCMParams, height: int,
 # ---------------------------------------------------------------------------
 
 def mcs_generate(scene: Scene, params: MCSParams, seed, height: int,
-                 width: int, track_steps: int = 128):
+                 width: int, track_steps: int = 128,
+                 score_floor: float | None = None):
     """Differentiable twin of mcs.generate: same tracking loops with ratio
     weights on the collision decisions; the collision-product transmittance
     (1 − α) factors are already pathwise-differentiable.
+
+    ``score_floor``: same score variance control as mcm_render_frame's
+    (see _ratio; ``>= 1`` freezes the score term entirely, isolating the
+    pathwise gradient; rendered values are unaffected in every mode).
 
     Reverse-mode AD cannot traverse unbounded while loops, so the tracking
     loops run as masked scans with a static ``track_steps`` budget — exact
@@ -224,7 +249,7 @@ def mcs_generate(scene: Scene, params: MCSParams, seed, height: int,
             collide = (~over) & (u < sg(a))
             # decision weight: collide with prob a, continue with 1-a
             p_taken = jnp.where(collide, a, 1.0 - a)
-            step_logw = jnp.log(_ratio(p_taken))
+            step_logw = jnp.log(_ratio(p_taken, floor=score_floor))
             active = ~done
             logw = logw + jnp.where(active & (~over), step_logw, 0.0)
             st_next = jnp.where(done, st, jnp.where(over, s1, s2))
@@ -286,11 +311,15 @@ def mcs_generate(scene: Scene, params: MCSParams, seed, height: int,
 
 
 def mcs_expected_image(scene: Scene, params: MCSParams, height: int,
-                       width: int, frames: int, seed0: float = 0.0):
+                       width: int, frames: int, seed0: float = 0.0,
+                       track_steps: int = 128,
+                       score_floor: float | None = None):
     def frame(i, acc):
         seed = rng.pcg(jnp.uint32(i) + rng.float_bits_to_uint(
             jnp.float32(seed0))).astype(jnp.float32) / jnp.float32(2 ** 32)
-        color = mcs_generate(scene, params, seed, height, width)
+        color = mcs_generate(scene, params, seed, height, width,
+                             track_steps=track_steps,
+                             score_floor=score_floor)
         return acc + (color - acc) / (i + 1).astype(jnp.float32)
 
     acc0 = jnp.zeros((height, width, 4), jnp.float32)
