@@ -12,6 +12,9 @@ image-MSE loss w.r.t. the voxel grid, for two sampler configurations:
   the differentiated function (pack_corner_volume is a dense stack —
   differentiable); 1 gather per event forward, 1 scatter-add backward,
   plus a cheap dense window-sum VJP for the pack itself.
+- ``packed-folded``: the corner table additionally folds F consecutive
+  cells into one wide row so the backward scatter-add stays below the
+  row-count cliff (sampling.scatter_fold_log2; the fit_mc default).
 
 Usage: python benchmarks/backward.py [--platform cpu] [--res 512]
 """
@@ -28,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(res: int, vol_n: int, steps: int, frames: int, packed: bool,
+def bench(res: int, vol_n: int, steps: int, frames: int, mode: str,
           iters: int = 8) -> dict:
     from vpt_tpu import sampling, transfer, volume
     from vpt_tpu.renderers import diff_mc, make_scene
@@ -39,11 +42,14 @@ def bench(res: int, vol_n: int, steps: int, frames: int, packed: bool,
     template = make_scene(vol, tf, pack=False)
     params = mcm_mod.Params(extinction=40.0, anisotropy=0.3, steps=steps)
     target = jnp.zeros((res, res, 3), jnp.float32)
+    packed = mode != "unpacked"
+    fold = (sampling.scatter_fold_log2(vol_n ** 3, 8, vol_n)
+            if mode == "folded" else 0)
 
     def loss_fn(voxels, seed0):
         sc = dataclasses.replace(
             template, volume=voxels,
-            volume_packed=(sampling.pack_corner_volume(voxels)
+            volume_packed=(sampling.pack_corner_volume(voxels, fold)
                            if packed else None),
             transfer_packed=(sampling.pack_corner_texture2d(
                 template.transfer) if packed else None))
@@ -69,8 +75,8 @@ def bench(res: int, vol_n: int, steps: int, frames: int, packed: bool,
     events = res * res * steps * frames
     return {
         "metric": "mcm_grad_events_per_s",
-        "config": f"{res}x{res}/{vol_n}^3/steps{steps}x{frames}f/"
-                  f"{'packed' if packed else 'unpacked'}",
+        "config": f"{res}x{res}/{vol_n}^3/steps{steps}x{frames}f/{mode}"
+                  + (f"(fold {1 << fold})" if fold else ""),
         "value": round(events / t_bwd),
         "unit": "events/s",
         "forward_events_per_s": round(events / t_fwd),
@@ -96,9 +102,9 @@ def main():
 
     probe_backend()
     for vol_n in (128, 256):
-        for packed in (False, True):
+        for mode in ("unpacked", "packed", "folded"):
             print(json.dumps(bench(args.res, vol_n, 8, args.frames,
-                                   packed, args.iters)), flush=True)
+                                   mode, args.iters)), flush=True)
 
 
 if __name__ == "__main__":

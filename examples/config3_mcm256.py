@@ -156,7 +156,12 @@ def main():
     targets_j = jnp.stack([jnp.asarray(t) for t in targets])
 
     def loss_fn(voxels, seed0):
-        packed = sampling.pack_corner_volume(voxels)
+        # fold keeps the backward scatter below the row-count cliff
+        # (+37% grad throughput at 256^3, sampling.py's fold note)
+        fold = sampling.scatter_fold_log2(
+            voxels.shape[0] * voxels.shape[1] * voxels.shape[2],
+            8 * voxels.shape[3], voxels.shape[2])
+        packed = sampling.pack_corner_volume(voxels, fold)
         tot = 0.0
         for vi, tmpl in enumerate(templates):
             sc = dataclasses.replace(

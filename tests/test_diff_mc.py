@@ -171,3 +171,34 @@ def test_packed_in_graph_gradients_match_unpacked():
     v_p, g_p = jax.value_and_grad(lambda v: loss(v, True))(voxels)
     assert float(v_u) == float(v_p)          # forward bit-identical
     assert np.allclose(np.asarray(g_u), np.asarray(g_p), atol=1e-6)
+
+
+def test_folded_in_graph_gradients_match_unpacked():
+    """The folded corner table (fit_mc's layout for big volumes — wide rows
+    below the backward scatter cliff, sampling.py's fold note) must keep
+    the end-to-end MCM estimator bit-identical forward and gradient-equal
+    to the unpacked oracle."""
+    import dataclasses
+
+    vol = volume.sphere_volume(8)
+    from vpt_tpu import transfer
+    tf = transfer.gray_ramp(alpha_scale=0.8)
+    template = make_scene(vol, tf, pack=False)
+    params = mcm.Params(extinction=10.0, steps=8)
+
+    def loss(voxels, fold):
+        sc = dataclasses.replace(
+            template, volume=voxels,
+            volume_packed=(sampling.pack_corner_volume(voxels, fold)
+                           if fold is not None else None),
+            transfer_packed=(sampling.pack_corner_texture2d(
+                template.transfer) if fold is not None else None))
+        img = diff_mc.mcm_expected_image(sc, params, 6, 6, frames=3)
+        return jnp.mean(img ** 2)
+
+    voxels = template.volume
+    v_u, g_u = jax.value_and_grad(lambda v: loss(v, None))(voxels)
+    for fold in (1, 3):
+        v_f, g_f = jax.value_and_grad(lambda v: loss(v, fold))(voxels)
+        assert float(v_u) == float(v_f)      # forward bit-identical
+        assert np.allclose(np.asarray(g_u), np.asarray(g_f), atol=1e-6)

@@ -184,6 +184,37 @@ def test_packed_volume_matches_slow_path():
     assert np.allclose(slow, fast, atol=1e-6)
 
 
+def test_folded_packed_volume_matches_slow_path():
+    """Folded corner tables (wide rows below the backward scatter cliff —
+    sampling.py's fold note) must stay bit-identical to the unfolded packed
+    sampler and gradient-exact vs the unpacked oracle."""
+    v = vol.blobs_volume(16, seed=2).data
+    rng_np = np.random.default_rng(0)
+    p = jnp.asarray(rng_np.uniform(-0.3, 1.3, (5000, 3)).astype(np.float32))
+    base = np.asarray(sampling.sample_volume_packed(
+        sampling.pack_corner_volume(v), v.shape, p))
+    co = jnp.asarray(rng_np.normal(size=(5000, 1)).astype(np.float32))
+    g_ref = jax.grad(lambda d: jnp.sum(sampling.sample_volume(d, p) * co))(v)
+    for fold in (1, 2, 4):
+        folded = sampling.pack_corner_volume(v, fold)
+        assert folded.shape == (16 ** 3 >> fold, 8 << fold)
+        fast = np.asarray(sampling.sample_volume_packed(folded, v.shape, p))
+        assert np.array_equal(base, fast)
+        g = jax.grad(lambda d: jnp.sum(sampling.sample_volume_packed(
+            sampling.pack_corner_volume(d, fold), d.shape, p) * co))(v)
+        assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+
+def test_scatter_fold_log2_policy():
+    # below the cliff: no fold; above: fold to <=2^18 rows, lanes <=128
+    assert sampling.scatter_fold_log2(64 ** 3, 8, 64) == 0
+    assert sampling.scatter_fold_log2(128 ** 3, 8, 128) == 3
+    assert sampling.scatter_fold_log2(256 ** 3, 8, 256) == 4   # lane cap
+    assert sampling.scatter_fold_log2(256 ** 3, 32, 256) == 2  # C=4 volumes
+    # fold must divide the x extent
+    assert sampling.scatter_fold_log2(150 ** 3, 8, 150) == 1
+
+
 def test_packed_texture_matches_slow_path():
     from vpt_tpu import transfer
     t = transfer.rasterize(transfer.TransferFunctionBumps.default(), 32, 32)

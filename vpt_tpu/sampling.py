@@ -20,6 +20,8 @@ transpose to scatter-adds, which is exactly the voxel/TF-texel gradient).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as _np
 import jax
 import jax.numpy as jnp
@@ -197,11 +199,17 @@ def sample_texture2d(texture, uv):
 # bit-identical to the reference sampler (same corner values, same lerps).
 # ---------------------------------------------------------------------------
 
-def pack_corner_volume(volume):
+def pack_corner_volume(volume, fold_log2: int = 0):
     """(D, H, W, C) → (D·H·W, 8·C) rows of the 2×2×2 cell corners.
 
     Corner order: (z, y, x) minor-to-major x, matching _corner_weights.
-    Clamped at the +1 edges (CLAMP_TO_EDGE semantics)."""
+    Clamped at the +1 edges (CLAMP_TO_EDGE semantics).
+
+    ``fold_log2`` > 0 folds F = 1 << fold_log2 consecutive x cells into one
+    (D·H·W/F, F·8·C) row (requires W % F == 0) — the layout whose backward
+    scatter stays below the row-count cliff (see the fold note above); use
+    :func:`scatter_fold_log2` to pick it.  :func:`sample_volume_packed`
+    detects the fold from the static row count."""
     d, h, w, c = volume.shape
     vp = jnp.concatenate([volume, volume[:, :, -1:]], axis=2)
     vp = jnp.concatenate([vp, vp[:, -1:]], axis=1)
@@ -209,13 +217,53 @@ def pack_corner_volume(volume):
     corners = [vp[dz:dz + d, dy:dy + h, dx:dx + w]
                for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
     packed = jnp.stack(corners, axis=3)          # (D, H, W, 8, C)
+    if fold_log2:
+        if w % (1 << fold_log2):
+            raise ValueError(f"fold {1 << fold_log2} does not divide W={w}")
+        return packed.reshape(d * h * (w >> fold_log2), (8 * c) << fold_log2)
     return packed.reshape(d * h * w, 8 * c)
+
+
+# -- folded corner tables: dodging the backward scatter cliff ---------------
+#
+# The backward of a row gather is a scatter-add, whose per-row cost has the
+# same total-row-count cliff as the gather's (benchmarks/scatter_cost.py:
+# 15 ns/row at <=2^18 rows -> 43 ns/row in-loop at 2^21, 84 at 2^24).
+# Scatter-adding a zero-padded *wide* row is exact, so the cliff can be
+# dodged by folding the table to <=2^18 rows that each hold F consecutive
+# cells (F = 1 << fold_log2): the forward gathers one wide row and selects
+# the cell with an exact one-hot sum; the backward scatters wide rows below
+# the cliff (benchmarks/scatter_fold.py: 42.5 -> 19.6 ns/row at 2^21,
+# 83.6 -> 44.0 at 2^24).  The fold must live in the PRIMAL table layout —
+# a per-gather custom-VJP unfold re-pays the layout shuffle every event
+# iteration and loses everything (benchmarks/_unfold_probe.py); folded in
+# the primal, the cotangent stays folded across the whole event loop and
+# unfolds once per grad step inside the pack's own VJP.
+
+_SCATTER_FOLD_ROWS_LOG2 = 18
+# Folded rows wider than one native lane tile cost more to gather and to
+# one-hot-select than their scatter saves (measured in the real MCM
+# backward at 256^3: fold 16 -> 128-lane rows wins +37%; fold 64 ->
+# 512-lane rows loses), so the lane cap beats full de-cliffing.
+_SCATTER_FOLD_MAX_LANES = 128
+
+
+def scatter_fold_log2(rows: int, lanes: int, width: int) -> int:
+    """Fold factor (log2) that brings a ``rows``-row table of ``lanes``-lane
+    rows under the scatter cliff, capped by the max folded-row width and by
+    the x-extent ``width`` (folds group consecutive x cells)."""
+    f = max(0, (rows - 1).bit_length() - _SCATTER_FOLD_ROWS_LOG2)
+    while f > 0 and ((lanes << f) > _SCATTER_FOLD_MAX_LANES
+                     or width % (1 << f)):
+        f -= 1
+    return f
 
 
 def sample_volume_packed(packed, shape, position):
     """Trilinear fetch from a corner-packed volume (one gather per sample).
 
-    ``packed``: output of :func:`pack_corner_volume`; ``shape``: (D, H, W, C).
+    ``packed``: output of :func:`pack_corner_volume` (optionally folded —
+    detected from its static row count); ``shape``: (D, H, W, C).
     Identical results to :func:`sample_volume`."""
     d, h, w, c = shape
     dims = jnp.array([w, h, d], jnp.float32)
@@ -226,8 +274,18 @@ def sample_volume_packed(packed, shape, position):
     f = u - i0
     i0 = jnp.clip(i0.astype(jnp.int32), 0,
                   jnp.array([w - 1, h - 1, d - 1], jnp.int32))
-    rows = jnp.take(packed, (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0],
-                    axis=0)
+    idx = (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0]
+    fold = (d * h * w) // packed.shape[0]         # static; 1 = unfolded
+    if fold == 1:
+        rows = jnp.take(packed, idx, axis=0)
+    else:
+        wide = jnp.take(packed, idx >> (fold.bit_length() - 1), axis=0)
+        wide = wide.reshape(wide.shape[:-1] + (fold, 8 * c))
+        # exact cell select: one-hot sum on the VPU (picks one term; no
+        # matmul so no bf16 operand quantization of float32 tables)
+        sub = idx & (fold - 1)
+        onehot = (sub[..., None] == jnp.arange(fold, dtype=jnp.int32))
+        rows = jnp.sum(wide * onehot[..., None].astype(wide.dtype), axis=-2)
     rows = rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor

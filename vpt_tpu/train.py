@@ -134,14 +134,19 @@ def fit_mc(target, scene_template, init_volume=None, init_tf=None,
         # corner-pack inside the differentiated graph: 1 gather/event
         # forward and 1 scatter-add/event backward instead of 8 of each
         # (3x measured grad throughput, benchmarks/backward.py); f32
-        # packing is bit-identical to the unpacked oracle.
+        # packing is bit-identical to the unpacked oracle.  Big tables
+        # fold to wide rows so the backward scatter stays below the
+        # row-count cliff (+32-37% measured, see sampling's fold note).
         vol = leaves.get("volume", scene_template.volume)
         tf_tex = leaves.get("tf", scene_template.transfer)
+        fold = sampling.scatter_fold_log2(
+            vol.shape[0] * vol.shape[1] * vol.shape[2], 8 * vol.shape[3],
+            vol.shape[2])
         sc = _dc.replace(
             scene_template,
             volume=vol,
             transfer=tf_tex,
-            volume_packed=sampling.pack_corner_volume(vol),
+            volume_packed=sampling.pack_corner_volume(vol, fold),
             transfer_packed=sampling.pack_corner_texture2d(tf_tex),
             transfer_banks=None, transfer_mxu=None)
         img = expected(sc, params, height, width, frames, seed0=seed0)
