@@ -96,11 +96,14 @@ class HaloScene:
             # sample from the slab-local corner table — identical rows to
             # the replicated pack_corner_volume table because the slab
             # carries its halo plane and x/y edges clamp like the global
-            # volume (shard_volume_with_halo replicates the last z plane)
-            rows = jnp.take(self.slab_packed,
-                            (zloc * h + y0) * w + x0, axis=0)
-            rows = rows.astype(jnp.float32).reshape(
-                rows.shape[:-1] + (8, c))
+            # volume (shard_volume_with_halo replicates the last z plane).
+            # Folded slab tables (differentiable path, sampling.py's fold
+            # note) are detected from the static row count.
+            from .. import sampling
+
+            rows = sampling.gather_packed_corners(
+                self.slab_packed, (zloc * h + y0) * w + x0,
+                (ds + 1) * h * w, c)
             cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
                 + rows[..., 1::2, :] * fx[..., None]
             cy = cx[..., 0::2, :] * (1 - fy)[..., None] \

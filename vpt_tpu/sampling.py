@@ -259,6 +259,24 @@ def scatter_fold_log2(rows: int, lanes: int, width: int) -> int:
     return f
 
 
+def gather_packed_corners(packed, idx, total_rows: int, c: int):
+    """Fetch cell ``idx``'s 8 corner values from a (possibly folded) corner
+    table as float32 (..., 8, c).  The fold factor is detected from the
+    static row count: ``total_rows`` is the unfolded cell count."""
+    fold = total_rows // packed.shape[0]          # static; 1 = unfolded
+    if fold == 1:
+        rows = jnp.take(packed, idx, axis=0)
+    else:
+        wide = jnp.take(packed, idx >> (fold.bit_length() - 1), axis=0)
+        wide = wide.reshape(wide.shape[:-1] + (fold, 8 * c))
+        # exact cell select: one-hot sum on the VPU (picks one term; no
+        # matmul so no bf16 operand quantization of float32 tables)
+        sub = idx & (fold - 1)
+        onehot = (sub[..., None] == jnp.arange(fold, dtype=jnp.int32))
+        rows = jnp.sum(wide * onehot[..., None].astype(wide.dtype), axis=-2)
+    return rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
+
+
 def sample_volume_packed(packed, shape, position):
     """Trilinear fetch from a corner-packed volume (one gather per sample).
 
@@ -275,18 +293,7 @@ def sample_volume_packed(packed, shape, position):
     i0 = jnp.clip(i0.astype(jnp.int32), 0,
                   jnp.array([w - 1, h - 1, d - 1], jnp.int32))
     idx = (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0]
-    fold = (d * h * w) // packed.shape[0]         # static; 1 = unfolded
-    if fold == 1:
-        rows = jnp.take(packed, idx, axis=0)
-    else:
-        wide = jnp.take(packed, idx >> (fold.bit_length() - 1), axis=0)
-        wide = wide.reshape(wide.shape[:-1] + (fold, 8 * c))
-        # exact cell select: one-hot sum on the VPU (picks one term; no
-        # matmul so no bf16 operand quantization of float32 tables)
-        sub = idx & (fold - 1)
-        onehot = (sub[..., None] == jnp.arange(fold, dtype=jnp.int32))
-        rows = jnp.sum(wide * onehot[..., None].astype(wide.dtype), axis=-2)
-    rows = rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
+    rows = gather_packed_corners(packed, idx, d * h * w, c)
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor
     cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
