@@ -101,9 +101,15 @@ class HaloScene:
             # note) are detected from the static row count.
             from .. import sampling
 
+            # total_rows derives from the slab that produced slab_packed
+            # (not the global shape) so a halo-depth mismatch raises in
+            # gather_packed_corners instead of mis-detecting the fold
+            sd, sh, sw = self.slab.shape[:3]
+            assert (sd, sh, sw) == (ds + 1, h, w), \
+                f"slab shape {self.slab.shape} != expected ({ds + 1},{h},{w})"
             rows = sampling.gather_packed_corners(
                 self.slab_packed, (zloc * h + y0) * w + x0,
-                (ds + 1) * h * w, c)
+                sd * sh * sw, c)
             cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
                 + rows[..., 1::2, :] * fx[..., None]
             cy = cx[..., 0::2, :] * (1 - fy)[..., None] \

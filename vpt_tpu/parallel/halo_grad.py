@@ -112,6 +112,10 @@ def make_sharded_grad(mesh: Mesh, scene: Scene, params, height: int,
         # cross-slab reduction).  Validated against dense AD on chained
         # psums and against the replicated EAM gradient
         # (tests/test_halo_grad.py).
+        # NOTE: psum's transpose under check_vma=False is a JAX-version-
+        # sensitive semantic pinned only empirically — keep
+        # test_eam_sharded_grad_matches_replicated as the mandatory guard
+        # when bumping JAX.
         g = _join_slab(gparts) / num_slabs        # (Ds+1, H, W, C)
 
         # halo-plane gradient exchange: slab k's halo plane is slab k+1's

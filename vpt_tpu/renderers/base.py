@@ -83,6 +83,7 @@ class Scene:
     transfer_banks: Any = None        # (n_banks·4, 128) lane-shuffle table
     transfer_mxu: Any = None          # (TW, 4) MXU one-hot lookup table
     majorant: Any = None              # (N, N, N, 2) [maxalpha, chebdist]
+    tracking_packed: Any = None       # (D·H·W, 8) cheb-skip corner table
     filter: str = "linear"            # volume filter (static)
 
     def tree_flatten(self):
@@ -90,7 +91,7 @@ class Scene:
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
                 self.transfer_banks, self.transfer_mxu,
-                self.majorant), self.filter
+                self.majorant, self.tracking_packed), self.filter
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -160,6 +161,35 @@ class Scene:
                 return out.reshape(value.shape + (4,))
         return self.sample_transfer(self.sample_volume_rg(position))
 
+    def sample_color_tracking(self, position):
+        """Tracking-renderer sampler over the cheb-skip corner table
+        (skipgrid.pack_tracking_volume): one gather yields BOTH the shading
+        color and the empty-space Chebyshev distance.
+
+        Returns ``(color, cheb)``: ``color`` is TF(value) with alpha forced
+        to 0 inside empty cells (where the repurposed rows carry -chebdist
+        instead of corner values), ``cheb`` is the distance in voxels to
+        the nearest non-empty cell (0 in non-empty cells)."""
+        from .. import sampling
+
+        v = sampling.sample_volume_packed(
+            self.tracking_packed, self.volume.shape[:3] + (1,),
+            position)[..., 0]
+        # empty rows hold a constant -chebdist in all 8 lanes, which
+        # trilinear interpolation reproduces exactly
+        empty = v < -0.5
+        cheb = jnp.maximum(-v, 0.0)
+        value = jnp.maximum(v, 0.0)
+        if self.transfer_mxu is not None:
+            vs = sampling.sample_transfer_1d_mxu(self.transfer_mxu, value)
+        else:
+            uv = jnp.stack([value, jnp.zeros_like(value)], axis=-1)
+            vs = self.sample_transfer(uv)
+        vs = jnp.concatenate(
+            [vs[..., :3],
+             jnp.where(empty, 0.0, vs[..., 3])[..., None]], axis=-1)
+        return vs, cheb
+
     def sample_env(self, direction):
         """Equirect env lookup; 1×1 environments (the reference default)
         skip the gather entirely."""
@@ -185,12 +215,19 @@ class Scene:
                                              voxel_size)
 
 
+#: tracking="auto" engages cheb-skip when at least this fraction of voxel
+#: cells is TF-empty: below it the skip can't pay for its (tiny) VPU
+#: overhead or the loss of GLSL-exact RNG streams.
+AUTO_TRACKING_MIN_EMPTY = 0.05
+
+
 def make_scene(volume, transfer, camera: Optional[Any] = None,
                environment=None, volume_transform=None,
                pack: Optional[bool] = None, pack_dtype=None,
                tf_banks: bool = False, tf_mxu: bool = False,
                tf_srgb: bool = False,
-               majorant_grid: Optional[int] = None) -> Scene:
+               majorant_grid: Optional[int] = None,
+               tracking: str = "none") -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -225,7 +262,18 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     ``transfer.to_gl_texture``) before sampling.  Off by default — this
     framework treats authored TF colors as linear HDR, which keeps
     ``pack=False`` scenes an exact float32 oracle; enable it to match the
-    reference's GL pipeline pixel for pixel."""
+    reference's GL pipeline pixel for pixel.
+    ``tracking``: empty-space acceleration for the null-collision
+    renderers (MCM).  ``"none"`` = the reference's global-majorant machine
+    (GLSL-exact per-pixel RNG streams).  ``"cheb"`` = voxel-resolution
+    Chebyshev empty-space skipping riding the existing corner gather
+    (skipgrid.pack_tracking_volume — no extra per-event cost; different
+    RNG stream, same estimator).  ``"grid"`` = the coarse local-majorant
+    grid (same as ``majorant_grid=16``; one extra coarse gather/event —
+    wins only when the occupied region itself needs sub-global majorants).
+    ``"auto"`` = per-scene policy: engage cheb-skip when >5% of cells are
+    TF-empty (the skip is free in occupied cells, so empty fraction is the
+    whole decision), else the exact global machine."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -265,12 +313,27 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
             from ..pallas import tf1d
 
             transfer_banks, _ = tf1d.pack_table(transfer)
+    if tracking not in ("none", "cheb", "grid", "auto"):
+        raise ValueError(f"unknown tracking mode {tracking!r}")
+    if tracking == "grid" and not majorant_grid:
+        majorant_grid = 16
     majorant = None
     if majorant_grid:
         from .. import skipgrid
 
         majorant = skipgrid.build_majorant_grid(volume, transfer,
                                                 majorant_grid)
+    tracking_packed = None
+    if tracking in ("cheb", "auto") and majorant is None:
+        from .. import skipgrid
+
+        tracking_packed = skipgrid.pack_tracking_volume(volume, transfer)
+        if tracking_packed is not None and tracking == "auto" \
+                and skipgrid.empty_fraction(tracking_packed) \
+                < AUTO_TRACKING_MIN_EMPTY:
+            tracking_packed = None     # policy: too dense to pay off
+        if tracking_packed is not None and pack_dtype is not None:
+            tracking_packed = tracking_packed.astype(pack_dtype)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -283,6 +346,7 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         transfer_banks=transfer_banks,
         transfer_mxu=transfer_mxu,
         majorant=majorant,
+        tracking_packed=tracking_packed,
         filter=vol_filter,
     )
 

@@ -89,7 +89,9 @@ def mcm_render_frame(state, scene: Scene, params: MCMParams, seed,
     from .mcm import _photon_reset
 
     logw0 = state.get("logw", jnp.zeros((height, width), jnp.float32))
-    ph0 = {k: v for k, v in state.items() if k != "logw"}
+    # "cheb" (a tracking-scene reset's skip carry) is not part of the
+    # differentiable machine — see mcm_reset
+    ph0 = {k: v for k, v in state.items() if k not in ("logw", "cheb")}
 
     def event(_, carry):
         ph, logw, rstate = carry
@@ -170,6 +172,10 @@ def mcm_reset(params: MCMParams, height: int, width: int, scene: Scene,
     from . import mcm
 
     state = mcm.reset(params, height, width, scene, seed=seed)
+    # the differentiable machine always runs the exact global-majorant
+    # event chain over the clean (differentiable) tables — drop the
+    # cheb-skip carry a tracking scene's reset would add
+    state.pop("cheb", None)
     state["logw"] = jnp.zeros((height, width), jnp.float32)
     return state
 

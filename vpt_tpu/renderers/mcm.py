@@ -66,7 +66,7 @@ def reset(params: Params, height: int, width: int, scene: Scene = None,
     state, position, direction = _photon_reset(state, ndc, scene, params,
                                                inv_res)
     shape = (height, width)
-    return {
+    state = {
         "position": position,
         "direction": direction,
         "bounces": jnp.zeros(shape, jnp.float32),
@@ -74,6 +74,12 @@ def reset(params: Params, height: int, width: int, scene: Scene = None,
         "radiance": jnp.ones(shape + (3,), jnp.float32),
         "samples": jnp.zeros(shape, jnp.float32),
     }
+    if scene.tracking_packed is not None and scene.majorant is None:
+        # cheb-skip carry: Chebyshev empty-space distance at the photon's
+        # position, refreshed by each event's gather; 0 = unknown/occupied
+        # (conservative — the first event after a reset tracks exactly)
+        state["cheb"] = jnp.zeros(shape, jnp.float32)
+    return state
 
 
 def render_frame(state, scene: Scene, params: Params, seed, frame_number):
@@ -87,10 +93,29 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
     rstate = rng.seed_pixels(mapped, jnp.asarray(seed, jnp.float32))
 
     use_majorant = scene.majorant is not None
+    use_skip = (not use_majorant and scene.tracking_packed is not None
+                and "cheb" in state)
+    if use_skip:
+        d, h, w = scene.volume.shape[:3]
+        # chebdist counts cells; cells are 1/N of each axis in normalized
+        # units, so the safe L∞ hop uses the smallest cell dimension
+        cell = min(1.0 / d, 1.0 / h, 1.0 / w)
 
     def event(_, carry):
         ph, rstate = carry
-        if use_majorant:
+        if use_skip:
+            # cheb-skip (skipgrid.pack_tracking_volume): the free flight
+            # extends to at least (cheb−1) empty cells — provably
+            # collision-free, so extending the exponential sample there is
+            # exact by memorylessness.  A hop landing always sits in an
+            # empty cell (alpha ≡ 0 → p_absorb = p_scatter = 0), so the
+            # standard classification below commits a null collision by
+            # itself — the machine differs from the exact one ONLY in the
+            # flight distance and the (value|−cheb) tracking sampler.
+            rstate, t_exp = rng.exponential(rstate, params.extinction)
+            hop = jnp.maximum(ph["cheb"] - 1.0, 0.0) * cell
+            dist = jnp.maximum(t_exp, hop)
+        elif use_majorant:
             # local-majorant tracking (skipgrid.py): exponential flight vs
             # the current cell's conservative majorant, DDA boundary hop
             # when the tentative collision falls outside the cell (valid by
@@ -114,7 +139,10 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
             rstate, dist = rng.exponential(rstate, params.extinction)
         position = ph["position"] + dist[..., None] * ph["direction"]
 
-        vs = scene.sample_color(position)
+        if use_skip:
+            vs, cheb_new = scene.sample_color_tracking(position)
+        else:
+            vs = scene.sample_color(position)
         alpha = vs[..., 3]
         if use_majorant:
             # collision rate relative to the local majorant; the clip keeps
@@ -169,6 +197,11 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
             "radiance": radiance,
             "samples": samples,
         }
+        if use_skip:
+            # cheb at the photon's committed position: the landing cell's
+            # (scatter/null stay there, skips land there); 0 after a reset
+            # (unknown — the next event tracks exactly, conservatively)
+            new_ph["cheb"] = jnp.where(deposit, 0.0, cheb_new)
         new_state = jnp.where(deposit, rs_reset,
                               jnp.where(scatter, rs_scat, rstate))
         return new_ph, new_state

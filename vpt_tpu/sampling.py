@@ -263,7 +263,14 @@ def gather_packed_corners(packed, idx, total_rows: int, c: int):
     """Fetch cell ``idx``'s 8 corner values from a (possibly folded) corner
     table as float32 (..., 8, c).  The fold factor is detected from the
     static row count: ``total_rows`` is the unfolded cell count."""
+    if total_rows % packed.shape[0]:
+        raise ValueError(
+            f"corner table rows {packed.shape[0]} do not divide the cell "
+            f"count {total_rows} — table/volume_shape mismatch")
     fold = total_rows // packed.shape[0]          # static; 1 = unfolded
+    if fold & (fold - 1):
+        raise ValueError(f"fold factor {fold} is not a power of two — "
+                         "table/volume_shape mismatch")
     if fold == 1:
         rows = jnp.take(packed, idx, axis=0)
     else:

@@ -93,6 +93,114 @@ def build_majorant_grid(volume, transfer, n_cells: int):
     return jnp.stack([maxalpha, dist.astype(jnp.float32)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Voxel-resolution Chebyshev empty-space skipping ("cheb-skip")
+#
+# The majorant grid above costs one extra coarse gather per event, which
+# loses on dense scenes (BENCH_NOTES.md).  cheb-skip instead rides the skip
+# information in the event loop's EXISTING volume gather: a voxel cell is
+# "empty" when the transfer function assigns alpha == 0 to every value the
+# trilinear interpolation can produce inside it, and an empty cell's corner
+# values can never influence shading in a tracking renderer (alpha == 0
+# forces a null collision regardless of color), so its corner-packed row is
+# repurposed to hold -chebdist in every lane (trilinear interpolation of a
+# constant row is exact, so a sampled value v < 0 identifies the cell as
+# empty with chebdist == -v).  The tracking loop then extends each free
+# flight to at least (chebdist - 1) voxels — provably collision-free — with
+# NO extra gather and NO extra cost in occupied cells.  Like the majorant
+# grid this consumes a different RNG stream than the GLSL-exact machine
+# (skip events burn an exponential but no classification uniform), so it is
+# an opt-in / policy-selected mode (make_scene(tracking=...)).
+# ---------------------------------------------------------------------------
+
+#: default cap on the stored Chebyshev distance (voxels); bf16 packed
+#: tables represent integers exactly up to 256, and hops beyond ~1/4 of
+#: the volume have negligible marginal value.
+CHEB_CAP = 64
+
+
+def _tf_range_max(alpha_row, lo, hi):
+    """max(alpha_row[lo..hi]) for int32 index arrays lo <= hi, via a
+    precomputed (TW, TW) cummax table — one tiny gather per query."""
+    tw = alpha_row.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 0)
+    hj = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 1)
+    masked = jnp.where(hj >= li, alpha_row[None, :], 0.0)
+    table = lax.cummax(masked, axis=1)            # table[lo, hi]
+    return jnp.take(table.reshape(-1), lo * tw + hi, axis=0)
+
+
+def cell_empty_mask(packed_rows, transfer):
+    """(R, 8) corner-value rows + (TH, TW, 4) transfer → (R,) bool: True
+    where the TF alpha is exactly 0 for every value trilinear interpolation
+    can produce in the cell (single-channel volumes sample the TF at
+    uv=(value, 0), texel row 0 — MCMRenderer.glsl:85-89)."""
+    vmin = jnp.min(packed_rows, axis=-1)
+    vmax = jnp.max(packed_rows, axis=-1)
+    tw = transfer.shape[1]
+    alpha_row = transfer[0, :, 3]
+    # texels a bilinear lookup at u = value·TW − 0.5 can touch for any
+    # value in [vmin, vmax] (same bound as build_majorant_grid)
+    lo = jnp.clip(jnp.floor(vmin * tw - 0.5), 0, tw - 1).astype(jnp.int32)
+    hi = jnp.clip(jnp.floor(vmax * tw - 0.5) + 1.0, 0,
+                  tw - 1).astype(jnp.int32)
+    return _tf_range_max(alpha_row, lo, hi) == 0.0
+
+
+def chebyshev_distance(occupied, cap: int = CHEB_CAP):
+    """(D, H, W) bool → float32 Chebyshev distance (in cells) to the nearest
+    True cell, clamped to ``cap``; cells outside the volume count as empty
+    (hops may overshoot the cube — the tracking loop's oob test catches
+    them).  Iterated separable 1D dilations (an L∞ ball is a box)."""
+    dist = jnp.where(occupied, 0.0, float(cap))
+    if not isinstance(occupied, jax.core.Tracer) \
+            and not bool(jnp.any(occupied)):
+        return dist                                 # fully empty volume
+    reach = occupied
+    for k in range(1, cap):
+        for axis in range(3):
+            window = tuple(3 if a == axis else 1 for a in range(3))
+            padding = tuple((1, 1) if a == axis else (0, 0)
+                            for a in range(3))
+            reach = lax.reduce_window(
+                reach, False, lax.bitwise_or,
+                window_dimensions=window, window_strides=(1, 1, 1),
+                padding=padding)
+        dist = jnp.minimum(dist, jnp.where(reach, float(k), float(cap)))
+        # early out once everything is reached (only when the mask is
+        # concrete, i.e. at make_scene time — the common case)
+        if not isinstance(reach, jax.core.Tracer) and bool(jnp.all(reach)):
+            break
+    return dist
+
+
+def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP):
+    """(D, H, W, 1) volume + (TH, TW, 4) transfer → corner-packed tracking
+    table (D·H·W, 8): occupied cells hold their true corner values, empty
+    cells hold -chebdist in every lane.  None when unsupported (multi-
+    channel volumes, or volumes with negative values — the sign bit is the
+    empty-cell flag)."""
+    from . import sampling
+
+    d, h, w, c = volume.shape
+    if c != 1:
+        return None
+    if bool(jnp.min(volume) < 0.0):
+        return None
+    packed = sampling.pack_corner_volume(volume)          # (D·H·W, 8)
+    empty = cell_empty_mask(packed, transfer)             # (R,)
+    occupied = (~empty).reshape(d, h, w)
+    cheb = chebyshev_distance(occupied, cap=cap).reshape(-1)
+    rows = jnp.where(empty[:, None],
+                     -jnp.maximum(cheb, 1.0)[:, None], packed)
+    return rows
+
+
+def empty_fraction(tracking_packed) -> float:
+    """Fraction of cells marked empty in a tracking table (policy input)."""
+    return float(jnp.mean((tracking_packed[:, 0] < -0.5).astype(jnp.float32)))
+
+
 def flight_step(grid, position, direction):
     """Per-photon local-majorant flight geometry.
 
