@@ -1,6 +1,7 @@
 """Benchmark: MCM throughput on the flagship renderer.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
+...}.  Secondary configs go to stderr.
 
 Two rates are measured and reported (BENCH_NOTES.md "Metric definitions"):
 
@@ -12,20 +13,38 @@ Two rates are measured and reported (BENCH_NOTES.md "Metric definitions"):
   dependent (mean path length = events/paths varies with opacity), so it is
   reported alongside, not instead.
 
+The headline scene runs the reference's ACTUAL transfer-function pipeline
+(``tf_srgb=True`` — the TF is an SRGB8_ALPHA8 GL texture whose 8-bit alpha
+rounds the gray ramp's near-zero floor to exact 0, AbstractRenderer.js:31-44)
+with the r3 auto-tracking policy (``tracking="auto"`` — cheb-skip engages
+because the sphere's exterior is TF-empty under 8-bit alpha).  The float-TF
+configuration of rounds 1–2 is reported on stderr for continuity, along
+with a sparse 256³ scene with the policy active (VERDICT r2 #1).
+
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` divides
 events/s by the north-star 1e9 rays/s aggregate on a v5p-16 (8 chips)
 => 1.25e8 per chip; ``paths_vs_baseline`` is the stricter ratio using
 completed paths as the ray metric.
+
+``--check``: regression gate (VERDICT r2 #8) — re-measures the configs in
+benchmarks/bench_baseline.json and exits non-zero if events/s or paths/s
+dropped more than the documented ±15% tunnel-variance band below the
+committed baselines.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+BASELINE_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "bench_baseline.json")
 
 
 def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
@@ -49,12 +68,12 @@ def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
             time.sleep(delay_s)
 
 
-def time_config(scene, steps: int, frames: int,
+def time_config(scene, steps: int, frames: int, extinction: float = 40.0,
                 height: int = 512, width: int = 512) -> tuple[float, float]:
     """Returns (events/s, paths/s) for one MCM config."""
     from vpt_tpu.renderers import mcm
 
-    params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
+    params = mcm.Params(extinction=extinction, anisotropy=0.3, steps=steps)
     state = mcm.reset(params, height, width, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
     total_samples = jax.jit(lambda s: jnp.sum(s["samples"], dtype=jnp.float64
@@ -80,29 +99,108 @@ def time_config(scene, steps: int, frames: int,
     return (height * width * steps * frames / dt, (paths1 - paths0) / dt)
 
 
-def main():
+def headline_scene():
     from vpt_tpu import transfer, volume
     from vpt_tpu.renderers import make_scene
-
-    probe_backend()
 
     vol = volume.sphere_volume(128)
     tf = transfer.gray_ramp(alpha_scale=0.8)
     # bf16 corner tables: ~4x faster gathers; 8-bit-mantissa table precision,
     # comparable to the reference's R8/SRGB8 GL texture formats.
-    # tf_mxu: 1D TF lookup as a one-hot MXU matmul instead of an HBM gather
-    # (same 8-bit-fraction precision class; ~2x the TF-gather speed)
-    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
+    # tf_mxu: 1D TF lookup as a one-hot MXU matmul instead of an HBM gather.
+    # tf_srgb + tracking="auto": reference TF texture semantics + the
+    # cheb-skip empty-space policy (see module docstring).
+    return make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True,
+                      tf_srgb=True, tracking="auto")
+
+
+def legacy_scene():
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import make_scene
+
+    return make_scene(volume.sphere_volume(128),
+                      transfer.gray_ramp(alpha_scale=0.8),
+                      pack_dtype=jnp.bfloat16, tf_mxu=True)
+
+
+def sparse_scene():
+    from vpt_tpu import transfer
+    from vpt_tpu.renderers import make_scene
+    from benchmarks.tracking_bench import sparse_ball
+
+    return make_scene(sparse_ball(256), transfer.gray_ramp(alpha_scale=0.5),
+                      pack_dtype=jnp.bfloat16, tf_mxu=True, tf_srgb=True,
+                      tracking="auto")
+
+
+#: config name -> (scene builder, steps, frames, extinction)
+CONFIGS = {
+    "headline-srgb-auto/steps32": (headline_scene, 32, 15, 40.0),
+    "headline-srgb-auto/steps8": (headline_scene, 8, 30, 40.0),
+    "legacy-float/steps32": (legacy_scene, 32, 15, 40.0),
+    "sparse256-auto/steps32": (sparse_scene, 32, 10, 100.0),
+}
+
+
+def run_config(name: str) -> dict:
+    builder, steps, frames, ext = CONFIGS[name]
+    ev, pa = time_config(builder(), steps=steps, frames=frames,
+                         extinction=ext)
+    return {"config": name, "events_per_s": round(ev), "paths_per_s":
+            round(pa), "mean_path_events": round(ev / max(pa, 1.0), 3)}
+
+
+def check_mode() -> int:
+    """Regression gate: re-measure the committed baseline configs and flag
+    drops beyond the tunnel-variance band."""
+    with open(BASELINE_TABLE) as f:
+        table = json.load(f)
+    band = table["variance_band"]
+    failures = []
+    for name, base in table["configs"].items():
+        row = run_config(name)
+        print(json.dumps(row), file=sys.stderr)
+        for key in ("events_per_s", "paths_per_s"):
+            floor = base[key] * (1.0 - band)
+            if row[key] < floor:
+                failures.append(
+                    f"{name}.{key}: {row[key]:.3g} < {floor:.3g} "
+                    f"(baseline {base[key]:.3g} - {band:.0%})")
+    if failures:
+        print("REGRESSION:\n  " + "\n  ".join(failures), file=sys.stderr)
+        return 1
+    print("# bench --check: all configs within the variance band",
+          file=sys.stderr)
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="regression gate vs benchmarks/bench_baseline.json")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    probe_backend()
+    if args.check:
+        return check_mode()
 
     # Two event budgets: steps=8 is the reference's UI default
     # (MCMRenderer.js steps=8); steps=32 amortizes per-frame launch overhead
     # over a 4x larger event batch (+7-9%, BENCH_NOTES.md) and is the
     # production setting for converging a still image.  The headline is the
-    # best sustained event rate; the other config goes to stderr.
-    rates = {s: time_config(scene, steps=s, frames=f)
-             for s, f in ((8, 30), (32, 15))}
-    for s, (ev, pa) in rates.items():
-        print(f"# steps={s}: {ev / 1e6:.1f}M events/s, "
+    # best sustained event rate; other configs go to stderr.
+    rates = {}
+    scene = headline_scene()
+    for name in ("headline-srgb-auto/steps8", "headline-srgb-auto/steps32"):
+        _, steps, frames, ext = CONFIGS[name]
+        rates[steps] = time_config(scene, steps=steps, frames=frames,
+                                   extinction=ext)
+        ev, pa = rates[steps]
+        print(f"# steps={steps}: {ev / 1e6:.1f}M events/s, "
               f"{pa / 1e6:.1f}M paths/s "
               f"(mean path length {ev / max(pa, 1.0):.2f} events)",
               file=sys.stderr)
@@ -118,7 +216,16 @@ def main():
         "paths_per_s": round(paths_per_s),
         "paths_vs_baseline": round(paths_per_s / baseline_per_chip, 4),
         "mean_path_events": round(events_per_s / max(paths_per_s, 1.0), 3),
-    }))
+    }), flush=True)
+
+    # secondary configs (stderr; failures here must not void the headline)
+    for name in ("legacy-float/steps32", "sparse256-auto/steps32"):
+        try:
+            print("# " + json.dumps(run_config(name)), file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# secondary config {name} failed: {exc}",
+                  file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -14,7 +14,13 @@ image-MSE loss w.r.t. the voxel grid, for two sampler configurations:
   plus a cheap dense window-sum VJP for the pack itself.
 - ``packed-folded``: the corner table additionally folds F consecutive
   cells into one wide row so the backward scatter-add stays below the
-  row-count cliff (sampling.scatter_fold_log2; the fit_mc default).
+  row-count cliff (sampling.scatter_fold_log2; the fit_mc default
+  before r3).
+- ``twolevelN``: the two-level fold (sampling.take_rows_twolevel) — the
+  table is stored at the fold that fully de-cliffs the scatter (<=2^18
+  rows, NO lane cap) while gathers are served at fold 2^N through a
+  custom-VJP reshape, decoupling the forward's gather layout from the
+  backward's scatter layout (VERDICT r2 #2).
 
 Usage: python benchmarks/backward.py [--platform cpu] [--res 512]
 """
@@ -43,8 +49,14 @@ def bench(res: int, vol_n: int, steps: int, frames: int, mode: str,
     params = mcm_mod.Params(extinction=40.0, anisotropy=0.3, steps=steps)
     target = jnp.zeros((res, res, 3), jnp.float32)
     packed = mode != "unpacked"
-    fold = (sampling.scatter_fold_log2(vol_n ** 3, 8, vol_n)
-            if mode == "folded" else 0)
+    gather_fold = None
+    if mode == "folded":
+        fold = sampling.scatter_fold_log2(vol_n ** 3, 8, vol_n)
+    elif mode.startswith("twolevel"):
+        fold, _ = sampling.twolevel_folds(vol_n ** 3, 8, vol_n)
+        gather_fold = min(int(mode[len("twolevel"):] or 0), fold)
+    else:
+        fold = 0
 
     def loss_fn(voxels, seed0):
         sc = dataclasses.replace(
@@ -52,7 +64,8 @@ def bench(res: int, vol_n: int, steps: int, frames: int, mode: str,
             volume_packed=(sampling.pack_corner_volume(voxels, fold)
                            if packed else None),
             transfer_packed=(sampling.pack_corner_texture2d(
-                template.transfer) if packed else None))
+                template.transfer) if packed else None),
+            gather_fold_log2=gather_fold)
         img = diff_mc.mcm_expected_image(sc, params, res, res, frames,
                                          seed0=0.3)
         return jnp.mean((img - target) ** 2)
@@ -90,6 +103,7 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--modes", default="unpacked,packed,folded")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -102,7 +116,7 @@ def main():
 
     probe_backend()
     for vol_n in (128, 256):
-        for mode in ("unpacked", "packed", "folded"):
+        for mode in args.modes.split(","):
             print(json.dumps(bench(args.res, vol_n, 8, args.frames,
                                    mode, args.iters)), flush=True)
 

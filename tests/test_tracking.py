@@ -191,3 +191,22 @@ def test_gather_packed_corners_validates_fold():
         sampling.gather_packed_corners(packed, idx, 65, 1)  # non-divisible
     out = sampling.gather_packed_corners(packed, idx, 64, 1)
     assert out.shape == (5, 8, 1)
+
+
+def test_bench_baseline_table_is_consistent():
+    """The --check regression gate's committed table must parse and name
+    only configs bench.py knows how to run (VERDICT r2 #8)."""
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    with open(bench.BASELINE_TABLE) as f:
+        table = json.load(f)
+    assert 0.0 < table["variance_band"] < 0.5
+    for name, row in table["configs"].items():
+        assert name in bench.CONFIGS, name
+        assert row["events_per_s"] > 0 and row["paths_per_s"] > 0

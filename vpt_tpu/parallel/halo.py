@@ -72,6 +72,7 @@ class HaloScene:
         self.projection = projection
         self.axis = axis
         self.majorant = None   # local-majorant tracking: replicated-scene only
+        self.tracking_packed = None   # cheb-skip: replicated-scene only
         self.slab_packed = slab_packed     # ((Ds+1)·H·W, 8·C) or None
         self.transfer_packed = transfer_packed
 

@@ -50,7 +50,10 @@ def sharded_scene(scene: Scene, mesh: Mesh,
                       if scene.transfer_mxu is not None else None),
         majorant=(jax.device_put(scene.majorant, rep)
                   if scene.majorant is not None else None),
+        tracking_packed=(jax.device_put(scene.tracking_packed, rep)
+                         if scene.tracking_packed is not None else None),
         filter=scene.filter,
+        gather_fold_log2=scene.gather_fold_log2,
     )
 
 

@@ -85,17 +85,22 @@ class Scene:
     majorant: Any = None              # (N, N, N, 2) [maxalpha, chebdist]
     tracking_packed: Any = None       # (D·H·W, 8) cheb-skip corner table
     filter: str = "linear"            # volume filter (static)
+    #: serve volume gathers at this fold when volume_packed is stored at a
+    #: larger one (two-level fold, sampling.take_rows_twolevel): fast
+    #: narrow gathers forward, cliff-free wide scatters backward.  Static.
+    gather_fold_log2: Optional[int] = None
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
                 self.transfer_banks, self.transfer_mxu,
-                self.majorant, self.tracking_packed), self.filter
+                self.majorant, self.tracking_packed), \
+            (self.filter, self.gather_fold_log2)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, filter=aux)
+        return cls(*children, filter=aux[0], gather_fold_log2=aux[1])
 
     # -- samplers (the GLSL sampleVolumeColor / sampleEnvironmentMap) ------
     def sample_volume_rg(self, position):
@@ -104,7 +109,8 @@ class Scene:
 
         if self.volume_packed is not None and self.filter == "linear":
             s = sampling.sample_volume_packed(
-                self.volume_packed, self.volume.shape, position)
+                self.volume_packed, self.volume.shape, position,
+                gather_fold_log2=self.gather_fold_log2)
             if s.shape[-1] >= 2:
                 return s[..., :2]
             return jnp.concatenate([s, jnp.zeros_like(s)], axis=-1)
@@ -116,7 +122,8 @@ class Scene:
 
         if self.volume_packed is not None and self.filter == "linear":
             return sampling.sample_volume_packed(
-                self.volume_packed, self.volume.shape, position)[..., 0]
+                self.volume_packed, self.volume.shape, position,
+                gather_fold_log2=self.gather_fold_log2)[..., 0]
         return sampling.volume_rg(self.volume, position,
                                   self.filter)[..., 0]
 

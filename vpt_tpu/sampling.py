@@ -248,6 +248,20 @@ _SCATTER_FOLD_ROWS_LOG2 = 18
 _SCATTER_FOLD_MAX_LANES = 128
 
 
+def twolevel_folds(rows: int, lanes: int, width: int):
+    """(table_fold_log2, gather_fold_log2) for the two-level fold: store
+    the table at whatever fold brings its rows under the scatter cliff
+    (NO lane cap — gathers are served at ``gather_fold_log2`` through
+    :func:`take_rows_twolevel` and never read the wide rows), and gather
+    at fold 0 (the fastest measured gather layout inside grad loops).
+    Returns (0, None) when the table is already below the cliff."""
+    del lanes  # the scatter-side width is uncapped by design
+    b = max(0, (rows - 1).bit_length() - _SCATTER_FOLD_ROWS_LOG2)
+    while b > 0 and width % (1 << b):
+        b -= 1
+    return b, (0 if b else None)
+
+
 def scatter_fold_log2(rows: int, lanes: int, width: int) -> int:
     """Fold factor (log2) that brings a ``rows``-row table of ``lanes``-lane
     rows under the scatter cliff, capped by the max folded-row width and by
@@ -259,10 +273,75 @@ def scatter_fold_log2(rows: int, lanes: int, width: int) -> int:
     return f
 
 
-def gather_packed_corners(packed, idx, total_rows: int, c: int):
+# -- two-level fold: fast-fold gathers, cliff-free-fold scatters ------------
+#
+# The forward gather and the backward scatter-add prefer DIFFERENT folds:
+# gathers are fastest near the unfolded layout (narrow rows; the in-loop
+# event stream already sits near the per-row floor), while scatters need
+# <=2^18 rows to stay below their (steeper) cliff.  A custom-VJP gather
+# decouples them: the PRIMAL table lives at the scatter-friendly fold
+# (bwd_fold rows wide), the forward internally reshapes it to the
+# gather-friendly fold (a free, loop-hoisted relayout — both layouts tile
+# f32 exactly) and gathers there, and the backward one-hot-expands each
+# cotangent row into its position inside the wide bwd row and scatters
+# below the cliff.  The loop-carried table cotangent then stays in the wide
+# layout across the whole event loop — the per-iteration relayout that
+# killed the naive unfold (benchmarks/_unfold_probe.py) never happens —
+# and unfolds once per grad step inside pack_corner_volume's own VJP.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def take_rows_twolevel(table, idx, fwd_fold_log2: int, bwd_fold_log2: int,
+                       bwd_rows: int, bwd_lanes: int):
+    """Gather rows ``idx`` (indices into the fwd_fold layout) from a table
+    stored at bwd_fold (requires bwd_fold_log2 >= fwd_fold_log2;
+    ``(bwd_rows, bwd_lanes)`` = the table's static shape).  Value-identical
+    to ``jnp.take`` on the fwd_fold reshape of ``table``; the cotangent
+    scatter-adds in the bwd_fold layout (below the row-count cliff) with
+    one-hot zero-padded wide update rows — exact under addition."""
+    shift = bwd_fold_log2 - fwd_fold_log2
+    fwd_view = table.reshape(table.shape[0] << shift, -1)
+    return jnp.take(fwd_view, idx, axis=0)
+
+
+def _take_twolevel_fwd(table, idx, fwd_fold_log2, bwd_fold_log2,
+                       bwd_rows, bwd_lanes):
+    out = take_rows_twolevel(table, idx, fwd_fold_log2, bwd_fold_log2,
+                             bwd_rows, bwd_lanes)
+    return out, idx
+
+
+def _take_twolevel_bwd(fwd_fold_log2, bwd_fold_log2, bwd_rows, bwd_lanes,
+                       idx, ct):
+    shift = bwd_fold_log2 - fwd_fold_log2
+    flat_ct = ct.reshape(-1, ct.shape[-1])
+    flat_idx = idx.reshape(-1)
+    zeros = jnp.zeros((bwd_rows, bwd_lanes), ct.dtype)
+    if shift == 0:
+        grad = zeros.at[flat_idx].add(flat_ct, mode="promise_in_bounds")
+        return grad, None
+    sub = flat_idx & ((1 << shift) - 1)       # position inside the wide row
+    onehot = (sub[:, None]
+              == jnp.arange(1 << shift, dtype=jnp.int32)).astype(ct.dtype)
+    wide = (onehot[:, :, None] * flat_ct[:, None, :]).reshape(
+        flat_idx.shape[0], bwd_lanes)
+    grad = zeros.at[flat_idx >> shift].add(wide, mode="promise_in_bounds")
+    return grad, None
+
+
+take_rows_twolevel.defvjp(_take_twolevel_fwd, _take_twolevel_bwd)
+
+
+def gather_packed_corners(packed, idx, total_rows: int, c: int,
+                          gather_fold_log2: int | None = None):
     """Fetch cell ``idx``'s 8 corner values from a (possibly folded) corner
     table as float32 (..., 8, c).  The fold factor is detected from the
-    static row count: ``total_rows`` is the unfolded cell count."""
+    static row count: ``total_rows`` is the unfolded cell count.
+
+    ``gather_fold_log2``: serve the gather at a different (smaller) fold
+    than the table's own — the two-level fold (take_rows_twolevel): fast
+    narrow-row gathers in the forward, cliff-free wide-row scatters in the
+    backward.  None = gather at the table's fold (the plain path)."""
     if total_rows % packed.shape[0]:
         raise ValueError(
             f"corner table rows {packed.shape[0]} do not divide the cell "
@@ -271,24 +350,38 @@ def gather_packed_corners(packed, idx, total_rows: int, c: int):
     if fold & (fold - 1):
         raise ValueError(f"fold factor {fold} is not a power of two — "
                          "table/volume_shape mismatch")
-    if fold == 1:
+    fold_log2 = fold.bit_length() - 1
+    if gather_fold_log2 is not None and gather_fold_log2 < fold_log2:
+        if fold == 1:
+            raise ValueError("gather_fold_log2 given for an unfolded table")
+        gf = gather_fold_log2
+        rows = take_rows_twolevel(packed, idx >> gf, gf, fold_log2,
+                                  packed.shape[0], packed.shape[1])
+        eff_fold = 1 << gf
+    elif fold == 1:
         rows = jnp.take(packed, idx, axis=0)
+        eff_fold = 1
     else:
-        wide = jnp.take(packed, idx >> (fold.bit_length() - 1), axis=0)
-        wide = wide.reshape(wide.shape[:-1] + (fold, 8 * c))
+        rows = jnp.take(packed, idx >> fold_log2, axis=0)
+        eff_fold = fold
+    if eff_fold > 1:
+        wide = rows.reshape(rows.shape[:-1] + (eff_fold, 8 * c))
         # exact cell select: one-hot sum on the VPU (picks one term; no
         # matmul so no bf16 operand quantization of float32 tables)
-        sub = idx & (fold - 1)
-        onehot = (sub[..., None] == jnp.arange(fold, dtype=jnp.int32))
+        sub = idx & (eff_fold - 1)
+        onehot = (sub[..., None] == jnp.arange(eff_fold, dtype=jnp.int32))
         rows = jnp.sum(wide * onehot[..., None].astype(wide.dtype), axis=-2)
     return rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
 
 
-def sample_volume_packed(packed, shape, position):
+def sample_volume_packed(packed, shape, position,
+                         gather_fold_log2: int | None = None):
     """Trilinear fetch from a corner-packed volume (one gather per sample).
 
     ``packed``: output of :func:`pack_corner_volume` (optionally folded —
-    detected from its static row count); ``shape``: (D, H, W, C).
+    detected from its static row count); ``shape``: (D, H, W, C);
+    ``gather_fold_log2``: serve gathers at a smaller fold than the table's
+    (the two-level fold — see :func:`gather_packed_corners`).
     Identical results to :func:`sample_volume`."""
     d, h, w, c = shape
     dims = jnp.array([w, h, d], jnp.float32)
@@ -300,7 +393,8 @@ def sample_volume_packed(packed, shape, position):
     i0 = jnp.clip(i0.astype(jnp.int32), 0,
                   jnp.array([w - 1, h - 1, d - 1], jnp.int32))
     idx = (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0]
-    rows = gather_packed_corners(packed, idx, d * h * w, c)
+    rows = gather_packed_corners(packed, idx, d * h * w, c,
+                                 gather_fold_log2=gather_fold_log2)
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor
     cx = rows[..., 0::2, :] * (1 - fx)[..., None] \

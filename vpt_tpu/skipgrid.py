@@ -156,8 +156,9 @@ def chebyshev_distance(occupied, cap: int = CHEB_CAP):
     if not isinstance(occupied, jax.core.Tracer) \
             and not bool(jnp.any(occupied)):
         return dist                                 # fully empty volume
-    reach = occupied
-    for k in range(1, cap):
+
+    def dilate(k, carry):
+        reach, dist = carry
         for axis in range(3):
             window = tuple(3 if a == axis else 1 for a in range(3))
             padding = tuple((1, 1) if a == axis else (0, 0)
@@ -166,11 +167,14 @@ def chebyshev_distance(occupied, cap: int = CHEB_CAP):
                 reach, False, lax.bitwise_or,
                 window_dimensions=window, window_strides=(1, 1, 1),
                 padding=padding)
-        dist = jnp.minimum(dist, jnp.where(reach, float(k), float(cap)))
-        # early out once everything is reached (only when the mask is
-        # concrete, i.e. at make_scene time — the common case)
-        if not isinstance(reach, jax.core.Tracer) and bool(jnp.all(reach)):
-            break
+        dist = jnp.minimum(dist, jnp.where(reach, k.astype(jnp.float32),
+                                           float(cap)))
+        return reach, dist
+
+    # one fused device loop: a Python loop of `cap` dilations costs `cap`
+    # dispatches (and on the tunneled backend, round trips) at scene build
+    _, dist = jax.jit(lambda r, d: lax.fori_loop(1, cap, dilate, (r, d)),
+                      static_argnames=())(occupied, dist)
     return dist
 
 
