@@ -144,23 +144,67 @@ def test_viewer_server_endpoints():
 
 
 def test_viewer_pose_change_keeps_renderer():
-    """Camera drags must not rebuild the compiled renderer (only
-    config changes may)."""
+    """Camera drags must not rebuild the compiled renderer; traced-param
+    changes (GL-uniform class) swap params + reset accumulation without a
+    rebuild; static-param changes (shader-recompile class) rebuild."""
+    import json as _json
+
     from vpt_tpu.runtime.viewer import ViewerServer
 
-    ctx = make_ctx("mip", resolution=24)
+    ctx = make_ctx("eam", resolution=24)
     server = ViewerServer(ctx, port=0)
-    q1 = {"yaw": ["0.1"], "pitch": ["0.0"], "renderer": ["mip"],
-          "tonemap": ["reinhard"], "extinction": ["20"], "reset": ["1"]}
+    q1 = {"yaw": ["0.1"], "pitch": ["0.0"], "renderer": ["eam"],
+          "tonemap": ["reinhard"], "rp": [_json.dumps({"extinction": 20})],
+          "reset": ["1"]}
     server._apply_query(q1)
     r1 = ctx.renderer
     q2 = dict(q1, yaw=["0.5"], reset=["0"])
     server._apply_query(q2)
     assert ctx.renderer is r1          # pose change: same renderer object
     assert ctx.renderer.state is None  # but accumulation reset
-    q3 = dict(q2, extinction=["55"])
+    # traced-param change: same renderer (no recompile), params swapped,
+    # accumulation reset (Application.js:130-138 semantics)
+    ctx.renderer.state = object()      # sentinel to observe the reset
+    q3 = dict(q2, rp=[_json.dumps({"extinction": 55})])
     server._apply_query(q3)
-    assert ctx.renderer is not r1      # config change: rebuilt
+    assert ctx.renderer is r1
+    assert float(ctx.renderer.params.extinction) == 55.0
+    assert ctx.renderer.state is None
+    # static-param change (slices = loop trip count): rebuilt
+    q4 = dict(q3, rp=[_json.dumps({"extinction": 55, "slices": 32})])
+    server._apply_query(q4)
+    assert ctx.renderer is not r1
+    assert ctx.renderer.params.slices == 32
+    # legacy single-knob clients still work
+    q5 = dict(q1, renderer=["mcs"], extinction=["7"])
+    del q5["rp"]
+    server._apply_query(q5)
+    assert float(ctx.renderer.params.extinction) == 7.0
+
+
+def test_viewer_info_schema_covers_all_params():
+    """The /info schema drives the auto-generated panels: every Params
+    field of every renderer and every tone-mapper keyword must appear
+    (DialogConstructor.js:5-35 parity)."""
+    import dataclasses
+    import json as _json
+
+    from vpt_tpu.renderers import factory
+    from vpt_tpu.runtime.viewer import ViewerServer
+    from vpt_tpu.tonemap import TONE_MAPPERS
+
+    ctx = make_ctx("mip", resolution=24)
+    info = _json.loads(ViewerServer(ctx, port=0)._info())
+    schema = info["schema"]
+    for key in factory.MODULES:
+        names = {f["name"] for f in schema["renderers"][key]}
+        want = {f.name for f in dataclasses.fields(
+            factory.get_module(key).Params)}
+        assert names == want, key
+    for name in TONE_MAPPERS:
+        assert name in schema["tonemappers"]
+    assert any(f["name"] == "exposure"
+               for f in schema["tonemappers"]["reinhard"])
 
 
 def test_photon_stats_telemetry():

@@ -34,6 +34,7 @@ class OrbitCameraAnimator:
         self.yaw = float(np.arctan2(offset[0], offset[2]))
         self.pitch = float(np.arcsin(np.clip(
             offset[1] / max(self.distance, 1e-9), -1, 1)))
+        self.roll = 0.0
         self._update_camera()
 
     def rotate(self, dx: float, dy: float):
@@ -58,11 +59,17 @@ class OrbitCameraAnimator:
 
     def fly(self, forward: float = 0.0, strafe: float = 0.0,
             lift: float = 0.0):
-        """WASD-style focus translation along the view basis."""
+        """WASD-style focus translation along the view basis
+        (OrbitCameraAnimator.js:130-160)."""
         right, up, back = self._basis()
         move = (strafe * right + lift * up - forward * back) \
             * self.translation_speed
         self.focus = self.focus + move
+        self._update_camera()
+
+    def roll_by(self, angle: float):
+        """Rotate the camera about the view axis (keeps focus/eye)."""
+        self.roll = float(self.roll + angle)
         self._update_camera()
 
     def _basis(self):
@@ -80,7 +87,12 @@ class OrbitCameraAnimator:
         # look toward the focus: rotation = yaw about y then pitch about x
         qy = m4.quat_from_axis_angle(np.array([0.0, 1.0, 0.0]), self.yaw)
         qx = m4.quat_from_axis_angle(np.array([1.0, 0.0, 0.0]), -self.pitch)
-        t.local_rotation = m4.quat_multiply(qy, qx)
+        rot = m4.quat_multiply(qy, qx)
+        if getattr(self, "roll", 0.0):
+            qz = m4.quat_from_axis_angle(np.array([0.0, 0.0, 1.0]),
+                                         self.roll)
+            rot = m4.quat_multiply(rot, qz)
+        t.local_rotation = rot
         t.local_translation = eye.astype(np.float32)
 
 

@@ -49,8 +49,9 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
 <div id="view"><img id="canvas" width="512" height="512"></div>
 <div id="panel">
   <label>Renderer</label><select id="renderer"></select>
+  <div id="rparams"></div>
   <label>Tone mapper</label><select id="tonemap"></select>
-  <label>Extinction</label><input id="extinction" type="number" value="20">
+  <div id="tmparams"></div>
   <label>Samples / request</label><input id="spp" type="number" value="4">
   <label>Resolution</label>
   <select id="resolution">
@@ -82,12 +83,14 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
     <input id="tffile" type="file" accept=".json" style="display:none">
   </div>
   <div style="color:#666">drag bump · wheel resizes · dblclick adds<br>
-  image: drag orbits · shift/right-drag pans · wheel zooms</div>
+  image: drag orbits · shift/right-drag pans · wheel zooms<br>
+  keys: WASD fly · R/F lift · Q/E roll</div>
   <div id="stats"></div>
 </div>
 <script>
-let yaw = 0.5, pitch = 0.3, distance = 2.0, focus = [0, 0, 0],
+let yaw = 0.5, pitch = 0.3, roll = 0.0, distance = 2.0, focus = [0, 0, 0],
     dragging = 0, px = 0, py = 0, epoch = 0, busy = false, frames = 0;
+let schema = {renderers: {}, tonemappers: {}}, rpVals = {}, tpVals = {};
 const img = document.getElementById('canvas');
 img.addEventListener('contextmenu', e => e.preventDefault());
 img.addEventListener('pointerdown', e => {
@@ -117,10 +120,76 @@ img.addEventListener('pointermove', e => {
 img.addEventListener('wheel', e => {
   e.preventDefault();
   distance *= Math.exp(e.deltaY * 0.001); epoch++; frames = 0; });
-for (const id of ['renderer', 'tonemap', 'extinction', 'resolution',
+for (const id of ['renderer', 'tonemap', 'resolution',
                   'filter', 'vtrans', 'vrot', 'vscale'])
   document.getElementById(id).addEventListener('change',
     () => { epoch++; frames = 0; });
+// ---- auto-generated settings panels (DialogConstructor parity) ----
+function buildPanel(divId, fields, vals) {
+  const div = document.getElementById(divId);
+  div.innerHTML = '';
+  for (const f of fields) {
+    const label = document.createElement('label');
+    label.textContent = f.name.replace(/_/g, ' ');
+    div.appendChild(label);
+    const inp = document.createElement('input');
+    if (f.kind === 'bool') {
+      inp.type = 'checkbox'; inp.checked = !!f.default;
+      inp.style.width = 'auto';
+      inp.addEventListener('change',
+        () => { vals[f.name] = inp.checked; epoch++; frames = 0; });
+    } else if (f.kind === 'vec') {
+      inp.value = f.default.join(',');
+      inp.addEventListener('change',
+        () => { vals[f.name] = inp.value; epoch++; frames = 0; });
+    } else {
+      inp.type = 'number';
+      if (f.kind === 'float') inp.step = 'any';
+      inp.value = f.default;
+      inp.addEventListener('change', () => {
+        vals[f.name] = parseFloat(inp.value); epoch++; frames = 0; });
+    }
+    div.appendChild(inp);
+  }
+}
+function rebuildPanels() {
+  rpVals = {}; tpVals = {};
+  buildPanel('rparams',
+             schema.renderers[document.getElementById('renderer').value]
+             || [], rpVals);
+  buildPanel('tmparams',
+             schema.tonemappers[document.getElementById('tonemap').value]
+             || [], tpVals);
+}
+document.getElementById('renderer')
+  .addEventListener('change', rebuildPanels);
+document.getElementById('tonemap')
+  .addEventListener('change', rebuildPanels);
+// ---- WASD fly + R/F lift + Q/E roll (OrbitCameraAnimator.js:130-160) ----
+window.addEventListener('keydown', e => {
+  const tag = e.target.tagName;
+  if (tag === 'INPUT' || tag === 'SELECT' || tag === 'TEXTAREA') return;
+  const k = e.key.toLowerCase();
+  if (k === 'q' || k === 'e') {
+    roll += (k === 'q' ? -1 : 1) * 0.05;
+    epoch++; frames = 0; return;
+  }
+  let f = 0, st = 0, l = 0;
+  if (k === 'w') f = 1; else if (k === 's') f = -1;
+  else if (k === 'a') st = -1; else if (k === 'd') st = 1;
+  else if (k === 'r') l = 1; else if (k === 'f') l = -1;
+  else return;
+  const cy = Math.cos(yaw), sy = Math.sin(yaw),
+        cp = Math.cos(pitch), sp = Math.sin(pitch),
+        back = [sy * cp, sp, cy * cp], right = [cy, 0, -sy],
+        up = [back[1] * right[2] - back[2] * right[1],
+              back[2] * right[0] - back[0] * right[2],
+              back[0] * right[1] - back[1] * right[0]],
+        step = 0.05 * distance;
+  for (let i = 0; i < 3; i++)
+    focus[i] += (st * right[i] + l * up[i] - f * back[i]) * step;
+  epoch++; frames = 0;
+});
 document.getElementById('resolution').addEventListener('change', e => {
   img.width = img.height = parseInt(e.target.value); });
 
@@ -258,6 +327,8 @@ async function init() {
   }
   rsel.value = info.resolution;
   img.width = img.height = info.resolution;
+  schema = info.schema;
+  rebuildPanels();
   bumps = await (await fetch('tf')).json();
   hist = await (await fetch('histogram')).json();
   tfImg.onload = drawTF;
@@ -270,10 +341,11 @@ async function loop() {
   busy = true;
   const myEpoch = epoch;
   const q = new URLSearchParams({
-    yaw, pitch, distance, focus: focus.join(','),
+    yaw, pitch, roll, distance, focus: focus.join(','),
     renderer: document.getElementById('renderer').value,
     tonemap: document.getElementById('tonemap').value,
-    extinction: document.getElementById('extinction').value,
+    rp: JSON.stringify(rpVals),
+    tp: JSON.stringify(tpVals),
     resolution: document.getElementById('resolution').value,
     filter: document.getElementById('filter').value,
     vtrans: document.getElementById('vtrans').value,
@@ -323,19 +395,67 @@ class ViewerServer:
         self.bumps = None  # TransferFunctionBumps once the editor touches it
 
     # -- request handling --------------------------------------------------
-    def _apply_query(self, q):
+    def _parse_params(self, renderer: str, q):
+        """Renderer Params from the ``rp`` JSON query value, coerced per
+        the dataclass schema; returns (params, static_signature)."""
+        import dataclasses
+
         from ..renderers import factory
 
+        module = factory.get_module(renderer)
+        raw = {}
+        if "rp" in q:
+            try:
+                raw = json.loads(q["rp"][0])
+            except (ValueError, TypeError):
+                raw = {}
+        elif "extinction" in q:          # legacy single-knob clients
+            raw = {"extinction": q["extinction"][0]}
+        kwargs = {}
+        static_sig = []
+        for f in dataclasses.fields(module.Params):
+            if f.default is dataclasses.MISSING:
+                continue
+            val = raw.get(f.name, f.default)
+            try:
+                if isinstance(f.default, bool):
+                    val = val if isinstance(val, bool) \
+                        else str(val).lower() in ("1", "true", "yes", "on")
+                elif isinstance(f.default, int):
+                    val = int(float(val))
+                elif isinstance(f.default, tuple):
+                    if isinstance(val, str):
+                        val = tuple(float(x) for x in val.split(","))
+                    else:
+                        val = tuple(float(x) for x in val)
+                else:
+                    val = float(val)
+            except (TypeError, ValueError):
+                val = f.default
+            kwargs[f.name] = val
+            if f.metadata.get("static"):
+                static_sig.append((f.name, val))
+        return module.Params(**kwargs), tuple(static_sig)
+
+    def _apply_query(self, q):
         ctx = self.ctx
         yaw = float(q.get("yaw", ["0"])[0])
         pitch = float(q.get("pitch", ["0"])[0])
+        roll = float(q.get("roll", ["0"])[0])
         distance = float(q.get("distance", ["2"])[0])
         renderer = q.get("renderer", [ctx.renderer_key or "mcm"])[0]
         tonemap = q.get("tonemap", [ctx.tone_mapper.name])[0]
-        extinction = float(q.get("extinction", ["20"])[0])
         resolution = int(q.get("resolution", [str(ctx.resolution)])[0])
         vol_filter = q.get("filter", [ctx.filter])[0]
         reset = q.get("reset", ["0"])[0] == "1"
+        params, static_sig = self._parse_params(renderer, q)
+        tm_params = {}
+        if "tp" in q:
+            try:
+                tm_params = {k: float(v)
+                             for k, v in json.loads(q["tp"][0]).items()}
+            except (ValueError, TypeError, AttributeError):
+                tm_params = {}
 
         def vec(name, default):
             try:
@@ -349,28 +469,35 @@ class ViewerServer:
 
         focus = vec("focus", "0,0,0") or (0.0, 0.0, 0.0)
 
-        config = (renderer, tonemap, extinction, resolution, vol_filter)
-        pose = (yaw, pitch, distance, focus)
+        config = (renderer, resolution, vol_filter, static_sig)
+        pose = (yaw, pitch, roll, distance, focus)
         if config != self._config or ctx.renderer is None:
-            # renderer/tonemap/extinction/resolution/filter change:
-            # rebuild (recompiles)
+            # renderer switch / static-param / resolution / filter change:
+            # rebuild (recompile-class knobs, like the reference's shader
+            # rebuilds)
             self._config = config
             if resolution != ctx.resolution:
                 ctx.set_resolution(resolution)
             if vol_filter != ctx.filter:
                 ctx.set_filter(vol_filter)
-            module = factory.get_module(renderer)
-            params = module.Params()
-            if hasattr(params, "extinction"):
-                params = module.Params(extinction=extinction)
             ctx.choose_renderer(renderer, params=params)
-            ctx.choose_tone_mapper(tonemap)
+        elif params != ctx.renderer.params:
+            # traced-param change (GL-uniform class): swap the params and
+            # reset accumulation WITHOUT recompiling — the jit signature is
+            # unchanged (Application.js:130-138 reset-on-change semantics)
+            ctx.renderer.params = params
+            ctx.renderer.state = None
+        if (tonemap != ctx.tone_mapper.name
+                or tm_params != ctx.tone_mapper.params):
+            # display-only: no accumulation reset, as in the reference
+            ctx.choose_tone_mapper(tonemap, **tm_params)
         if pose != self._pose or reset:
             # camera-only change: move the camera (fires the accumulation
             # reset listener) but KEEP the compiled renderer
             self._pose = pose
             ctx.camera_animator.yaw = yaw
             ctx.camera_animator.pitch = pitch
+            ctx.camera_animator.roll = roll
             ctx.camera_animator.distance = distance
             ctx.camera_animator.focus = np.asarray(focus, np.float32)
             ctx.camera_animator._update_camera()
@@ -434,6 +561,45 @@ class ViewerServer:
         return json.dumps([round(float(c / peak), 4)
                            for c in counts]).encode()
 
+    @staticmethod
+    def _param_schema() -> dict:
+        """Parameter schemas for every renderer Params dataclass and every
+        tone-mapper function — the same declarative walk that generates the
+        CLI flags (cli._add_params_args), here feeding the auto-generated
+        settings panels (DialogConstructor.js:5-35 parity)."""
+        import dataclasses
+        import inspect
+
+        from ..renderers import factory
+        from ..tonemap import TONE_MAPPERS
+
+        def field_spec(name, default, static):
+            if isinstance(default, bool):
+                kind = "bool"
+            elif isinstance(default, int):
+                kind = "int"
+            elif isinstance(default, tuple):
+                kind = "vec"
+                default = list(default)
+            else:
+                kind = "float"
+            return {"name": name, "kind": kind, "default": default,
+                    "static": static}
+
+        renderers = {}
+        for key in factory.MODULES:
+            renderers[key] = [
+                field_spec(f.name, f.default, bool(f.metadata.get("static")))
+                for f in dataclasses.fields(factory.get_module(key).Params)
+                if f.default is not dataclasses.MISSING]
+        tonemappers = {}
+        for name, fn in TONE_MAPPERS.items():
+            tonemappers[name] = [
+                field_spec(p.name, float(p.default), False)
+                for p in inspect.signature(fn).parameters.values()
+                if p.default is not inspect.Parameter.empty]
+        return {"renderers": renderers, "tonemappers": tonemappers}
+
     def _info(self) -> bytes:
         from ..renderers import factory
         from ..tonemap import TONE_MAPPERS
@@ -444,6 +610,7 @@ class ViewerServer:
             "renderer": self.ctx.renderer_key or "mcm",
             "tonemap": self.ctx.tone_mapper.name,
             "resolution": self.ctx.resolution,
+            "schema": self._param_schema(),
         }).encode()
 
     # -- server ------------------------------------------------------------
