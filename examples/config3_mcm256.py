@@ -1,16 +1,26 @@
 """BASELINE config 3, end to end: MCM multiple scattering on a 256³ volume,
 voxel-density gradients, ≥1024 spp accumulated targets, recover a perturbed
-volume (VERDICT r1 "Next round" #3).
+volume — coarse-to-fine multiresolution over 10 orbit views (VERDICT r1 #3
+established the estimator; VERDICT r2 #3 asked for actual volume recovery:
+3 views / 16M voxels is too ill-posed, so the fit now ascends 32³ → 64³ →
+128³ → 256³ with trilinear upsampling between stages, each stage descending
+the same full-resolution multi-view targets with per-step stochastic view
+selection).
 
 Pipeline:
 1. Ground truth: 256³ Gaussian-blobs volume (volume.blobs_volume).
-2. Targets: MCM progressive renders from 3 orbit views, accumulated until
-   mean samples/pixel ≥ 1024 (the analog forward machine, bf16 fast path).
+2. Targets: MCM progressive renders from 10 orbit views (alternating
+   pitch, full yaw circle), accumulated until mean samples/pixel ≥ 1024
+   (the analog forward machine, bf16 fast path).
 3. Perturbation: truth box-blurred (13³) and dimmed 0.55× — geometry
-   smeared and extinction wrong.
+   smeared and extinction wrong.  (The blur error lives at a coarse
+   spatial scale, which is exactly what the 32³ stage can see and fix.)
 4. Recovery: SGD+momentum on the raw voxel grid through the detached-
    decision MC estimator (diff_mc.mcm_expected_image) with in-graph
-   corner packing, multi-view A/B-split loss.
+   corner packing, A/B-split loss, one randomly-cycled view per step
+   (stochastic multi-view SGD — one compiled step graph for all views,
+   cameras passed as traced scene matrices), optional TV prior, coarse
+   to fine.
 5. Artifacts: loss curve + voxel-MSE numbers on stdout (and JSON), a
    target/init/fitted gallery PNG per view.
 
@@ -62,20 +72,29 @@ def box_blur(vol, k: int):
     return v[..., None]
 
 
-def orbit_cameras(yaws_deg):
+def orbit_cameras(yaws_deg, pitches=None):
     import math
 
     from vpt_tpu.runtime.animators import OrbitCameraAnimator
     from vpt_tpu.scene import CameraState, default_camera
 
     out = []
-    for yaw in yaws_deg:
+    for i, yaw in enumerate(yaws_deg):
         cam = default_camera()
         orbit = OrbitCameraAnimator(cam)
         orbit.yaw = math.radians(yaw)
+        if pitches is not None:
+            orbit.pitch = pitches[i % len(pitches)]
         orbit._update_camera()
         out.append(CameraState.from_nodes(cam))
     return out
+
+
+def resize_volume(vol, n):
+    """Trilinear resample of a (D, H, W, 1) grid to (n, n, n, 1)."""
+    import jax
+
+    return jax.image.resize(vol, (n, n, n, vol.shape[-1]), "trilinear")
 
 
 def render_target(vol, tf, cam, params, res, min_spp, label):
@@ -110,10 +129,13 @@ def main():
                     help="64^3 volume / 64^2 images / small budgets (CPU)")
     ap.add_argument("--out", default="examples/config3_gallery.png")
     ap.add_argument("--lr", type=float, default=None,
-                    help="SGD lr; default 30·(n/64) — per-voxel gradient "
-                         "magnitude scales with events per voxel, so the "
-                         "lr must scale with voxel count / pixel count")
-    ap.add_argument("--steps", type=int, default=None)
+                    help="SGD lr base; per stage it scales as lr·(n/64) — "
+                         "per-voxel gradient magnitude scales with events "
+                         "per voxel")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the final stage's step count")
+    ap.add_argument("--tv", type=float, default=0.0,
+                    help="total-variation prior weight (optional)")
     args = ap.parse_args()
 
     import jax
@@ -133,17 +155,23 @@ def main():
     n = 64 if args.quick else 256
     res = 64 if args.quick else 256
     min_spp = 64 if args.quick else 1024
-    opt_steps = args.steps or (10 if args.quick else 300)
     grad_frames = 2 if args.quick else 4
-    lr = args.lr or 30.0 * (n / 64.0)
+    n_views = 4 if args.quick else 10
+    # coarse-to-fine schedule: (volume resolution, SGD steps)
+    if args.quick:
+        stages = [(16, 6), (32, 6), (n, args.steps or 6)]
+    else:
+        stages = [(32, 160), (64, 120), (128, 90),
+                  (256, args.steps or 90)]
 
     truth = volume.blobs_volume(n, seed=3, count=6).data
     tf = transfer.gray_ramp(alpha_scale=0.9)
     params = mcm_mod.Params(extinction=25.0, anisotropy=0.2, steps=8)
-    cams = orbit_cameras((0.0, 120.0, 240.0))
+    pitches = (0.25, -0.35)
+    cams = orbit_cameras(np.arange(n_views) * (360.0 / n_views), pitches)
 
-    print(f"config 3: {n}^3 volume, {res}^2 images, 3 views, "
-          f">= {min_spp} spp targets")
+    print(f"config 3: {n}^3 volume, {res}^2 images, {n_views} views, "
+          f">= {min_spp} spp targets, stages {stages}")
     t_all = time.perf_counter()
     targets = [render_target(truth, tf, cam, params, res, min_spp,
                              f"target view {i}")
@@ -155,50 +183,72 @@ def main():
                  for cam in cams]
     targets_j = jnp.stack([jnp.asarray(t) for t in targets])
 
-    def loss_fn(voxels, seed0):
-        # fold keeps the backward scatter below the row-count cliff
-        # (+37% grad throughput at 256^3, sampling.py's fold note)
+    def loss_fn(voxels, scene_tmpl, target, seed0):
+        # one view per step (stochastic multi-view SGD): camera matrices
+        # are traced scene leaves, so all views share one compiled graph.
+        # The fold keeps the backward scatter below the row-count cliff
+        # (+37% grad throughput at 256^3, sampling.py's fold note).
         fold = sampling.scatter_fold_log2(
             voxels.shape[0] * voxels.shape[1] * voxels.shape[2],
             8 * voxels.shape[3], voxels.shape[2])
         packed = sampling.pack_corner_volume(voxels, fold)
-        tot = 0.0
-        for vi, tmpl in enumerate(templates):
-            sc = dataclasses.replace(
-                tmpl, volume=voxels, volume_packed=packed,
-                transfer_packed=sampling.pack_corner_texture2d(
-                    tmpl.transfer))
-            a = diff_mc.mcm_expected_image(
-                sc, params, res, res, grad_frames,
-                seed0=seed0 + 7.0 * vi)
-            b = diff_mc.mcm_expected_image(
-                sc, params, res, res, grad_frames,
-                seed0=seed0 + 7.0 * vi + 131.9)
-            tot = tot + jnp.mean((a - targets_j[vi])
-                                 * (b - targets_j[vi]))
-        return tot / len(templates)
+        sc = dataclasses.replace(
+            scene_tmpl, volume=voxels, volume_packed=packed,
+            transfer_packed=sampling.pack_corner_texture2d(
+                scene_tmpl.transfer))
+        a = diff_mc.mcm_expected_image(sc, params, res, res, grad_frames,
+                                       seed0=seed0)
+        b = diff_mc.mcm_expected_image(sc, params, res, res, grad_frames,
+                                       seed0=seed0 + 131.9)
+        loss = jnp.mean((a - target) * (b - target))
+        if args.tv > 0.0:
+            v = voxels[..., 0]
+            tv = sum(jnp.mean((jnp.roll(v, -1, a_) - v) ** 2)
+                     for a_ in range(3))
+            loss = loss + args.tv * tv
+        return loss
 
-    optimizer = optax.sgd(lr, momentum=0.9)
-    opt_state = optimizer.init(init)
-    step_fn = jax.jit(jax.value_and_grad(loss_fn))
-    vol_fit = init
     losses = []
+    vol_fit = None
     t_fit = time.perf_counter()
-    for s in range(opt_steps):
-        loss, g = step_fn(vol_fit, 0.31 * s)
-        updates, opt_state = optimizer.update(g, opt_state, vol_fit)
-        vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates), 0.0, 1.0)
-        losses.append(float(loss))
-        if s % 10 == 0 or s == opt_steps - 1:
-            print(f"  step {s:4d}: A/B image loss {losses[-1]:+.6f}  "
-                  f"voxel MSE {float(jnp.mean((vol_fit - truth) ** 2)):.6f}")
+    for n_fit, opt_steps in stages:
+        vol_fit = resize_volume(init if vol_fit is None else vol_fit,
+                                n_fit)
+        vol_fit = jnp.clip(vol_fit, 0.0, 1.0)
+        # per-voxel gradient magnitude scales with events per voxel, so
+        # the lr scales with the stage's voxel count (measured heuristic)
+        lr = (args.lr or 30.0) * (n_fit / 64.0)
+        optimizer = optax.sgd(lr, momentum=0.9)
+        opt_state = optimizer.init(vol_fit)
+        step_fn = jax.jit(jax.value_and_grad(loss_fn))
+        order = np.random.default_rng(n_fit).permutation
+        view_seq = np.concatenate(
+            [order(n_views) for _ in range(opt_steps // n_views + 1)])
+        t_stage = time.perf_counter()
+        for s in range(opt_steps):
+            vi = int(view_seq[s])
+            loss, g = step_fn(vol_fit, templates[vi], targets_j[vi],
+                              0.31 * s + 1000.0 * n_fit)
+            updates, opt_state = optimizer.update(g, opt_state, vol_fit)
+            vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates),
+                               0.0, 1.0)
+            losses.append(float(loss))
+            if s % 20 == 0 or s == opt_steps - 1:
+                up = resize_volume(vol_fit, n)
+                print(f"  [{n_fit}^3] step {s:4d}: A/B loss "
+                      f"{losses[-1]:+.6f}  voxel MSE "
+                      f"{float(jnp.mean((up - truth) ** 2)):.6f}",
+                      flush=True)
+        print(f"  [{n_fit}^3] stage done in "
+              f"{time.perf_counter() - t_stage:.1f}s")
     fit_dt = time.perf_counter() - t_fit
+    vol_fit = resize_volume(vol_fit, n)
     voxel_mse1 = float(jnp.mean((vol_fit - truth) ** 2))
 
     # gallery: rows = views, cols = target / init render / fitted render
     tm = tonemap.get("aces")
     rows = []
-    for vi, cam in enumerate(cams):
+    for vi, cam in list(enumerate(cams))[:3]:
         row = [targets[vi]]
         for v in (init, vol_fit):
             row.append(render_target(v, tf, cam, params, res,
@@ -211,7 +261,8 @@ def main():
         [gallery, np.ones(gallery.shape[:2] + (1,), np.float32)], axis=-1))
 
     summary = {
-        "config": f"mcm/{n}^3/{res}^2/3views/{min_spp}spp",
+        "config": f"mcm/{n}^3/{res}^2/{n_views}views/{min_spp}spp/"
+                  f"c2f{'+tv' if args.tv else ''}",
         "image_mse_first": losses[0], "image_mse_last": losses[-1],
         "voxel_mse_init": voxel_mse0, "voxel_mse_fitted": voxel_mse1,
         "fit_seconds": round(fit_dt, 1),

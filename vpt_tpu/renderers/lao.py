@@ -44,6 +44,12 @@ class Params:
     soft_shadows: bool = static_field(default=True)
     num_shadow_samples: int = static_field(default=10)
     slices: int = static_field(default=64)
+    #: read (value, |∇|) from a 2-channel volume baked with
+    #: volume.with_lao_gradient instead of recomputing the 7-tap central
+    #: difference per sample — an opt-in fast mode (the baked |∇| equals
+    #: the in-shader stencil at voxel centers and is trilinearly
+    #: interpolated between them); requires a 2-channel volume.
+    baked_gradient: bool = static_field(default=False)
 
 
 _VOXEL_SIZE = 1.0 / 32.0  # LAORenderer.glsl:59 (reference hard-codes this)
@@ -55,6 +61,10 @@ def reset(params: Params, height: int, width: int, scene=None):
 
 
 def generate(scene: Scene, params: Params, seed, height: int, width: int):
+    if params.baked_gradient and scene.volume.shape[-1] < 2:
+        raise ValueError(
+            "baked_gradient needs a 2-channel (value, |grad|) volume — "
+            "bake one with volume.with_lao_gradient")
     ndc = sampling.pixel_ndc(height, width)
     ray_from, ray_to = sampling.unproject(ndc, scene.mvp_inverse)
     direction = ray_to - ray_from
@@ -88,9 +98,14 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
         active = (t < 1.0) & (acc[..., 3] <= 0.9)
         position = start + t[..., None] * (end - start)
 
-        grad = scene.raw_gradient(position, _VOXEL_SIZE)
-        grad_mag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
-        value = value_at(position)
+        if params.baked_gradient:
+            # one gather yields (value, baked |∇|) — see Params
+            rg = scene.sample_volume_rg(position)
+            value, grad_mag = rg[..., 0], rg[..., 1]
+        else:
+            grad = scene.raw_gradient(position, _VOXEL_SIZE)
+            grad_mag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
+            value = value_at(position)
 
         # --- local ambient occlusion (:135-151).  The stateless rand makes
         # every sample identical, but the reference does NOT reset its inner

@@ -125,6 +125,29 @@ def with_gradient_magnitude(volume: Volume) -> Volume:
     return Volume(jnp.stack([values, mag], axis=-1), volume.filter)
 
 
+def with_lao_gradient(volume: Volume,
+                      voxel_size: float = 1.0 / 32.0) -> Volume:
+    """Append LAO's own gradient magnitude as channel 1, baked at voxel
+    centers: the raw (unnormalized) central difference over ±voxel_size in
+    normalized coordinates through the GL trilinear sampler — exactly the
+    per-sample stencil of LAORenderer.glsl:73-80 (with its hard-coded
+    1/32 voxelSize).  The baked channel equals the in-shader gradient at
+    voxel centers; between centers the renderer trilinearly interpolates
+    |∇| instead of recomputing ∇ of the interpolant — the approximation
+    that makes lao.Params(baked_gradient=True) an opt-in fast mode
+    (1 volume tap replaces 7 per slice)."""
+    from . import sampling
+
+    data = volume.data if isinstance(volume, Volume) else jnp.asarray(volume)
+    d, h, w = data.shape[:3]
+    x, y, z = normalized_grid(d, h, w)
+    pos = jnp.asarray(np.stack([x, y, z], axis=-1))        # (D, H, W, 3)
+    grad = sampling.raw_gradient(data[..., :1], pos, voxel_size)
+    mag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
+    vol_filter = volume.filter if isinstance(volume, Volume) else "linear"
+    return Volume(jnp.stack([data[..., 0], mag], axis=-1), vol_filter)
+
+
 def from_raw_bytes(data: bytes, depth: int, height: int, width: int,
                    dtype=np.uint8) -> Volume:
     """Decode a headerless RAW volume (one scalar per voxel, z-major), the
