@@ -45,6 +45,34 @@ def test_mcm_shard_invariance(scene):
         assert np.array_equal(a, b), key
 
 
+def test_mcm_tracking_shard_invariance():
+    """The cheb-skip tracking machine under ray sharding: the replicated
+    tracking table plus the extra cheb state row-shard like everything
+    else, and pixels stay bit-identical to the single-device render."""
+    tf = np.asarray(transfer.gray_ramp(alpha_scale=0.8)).copy()
+    tf[:, :8, 3] = 0.0                       # exactly-empty TF floor
+    sc1 = make_scene(volume.sphere_volume(16), jnp.asarray(tf),
+                     tracking="cheb")
+    assert sc1.tracking_packed is not None
+    params = mcm.Params(extinction=30.0, steps=8)
+    h = w = 32
+
+    state1 = mcm.reset(params, h, w, sc1)
+    state1 = jax.jit(mcm.render_frame)(state1, sc1, params,
+                                       jnp.float32(0.3), jnp.int32(1))
+
+    mesh = make_mesh(8, space=1, axes=("data",))
+    sc8 = sharded_scene(sc1, mesh)
+    state8 = place_state(mcm.reset(params, h, w, sc8), mesh)
+    frame_fn = shard_render_frame(mcm, mesh, state8, donate=False)
+    state8 = frame_fn(state8, sc8, params, jnp.float32(0.3), jnp.int32(1))
+
+    assert "cheb" in state1
+    for key in state1:
+        assert np.array_equal(np.asarray(state1[key]),
+                              np.asarray(state8[key])), key
+
+
 def test_mcm_sharded_display(scene):
     params = mcm.Params(extinction=20.0, steps=4)
     mesh = make_mesh(8, space=1, axes=("data",))

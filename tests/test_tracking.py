@@ -210,3 +210,49 @@ def test_bench_baseline_table_is_consistent():
     for name, row in table["configs"].items():
         assert name in bench.CONFIGS, name
         assert row["events_per_s"] > 0 and row["paths_per_s"] > 0
+
+
+def test_mcs_no_empty_cells_matches_exact():
+    """MCS with a tracking table but no empty cells runs the same draws
+    and branches (hop == 0 always; the samplers are bitwise equal —
+    asserted below), but the extra loop carry changes XLA's fusion
+    context, which reassociates float products by ~1 ulp (the same
+    compile-context effect documented for shard_map in halo.py) — so the
+    frame comparison is at 1-ulp tolerance rather than bitwise."""
+    from vpt_tpu.renderers import mcs
+
+    tf = np.zeros((2, 256, 4), np.float32)
+    tf[..., :3] = 0.7
+    tf[..., 3] = np.linspace(0.05, 0.5, 256, dtype=np.float32)
+    vol = volume.sphere_volume(16)
+    params = mcs.Params(extinction=25.0)
+    out = {}
+    for key, mode in (("exact", "none"), ("skip", "cheb")):
+        sc = make_scene(vol, jnp.asarray(tf), tracking=mode)
+        if mode == "cheb":
+            rng = np.random.default_rng(0)
+            pos = jnp.asarray(rng.uniform(0, 1, (512, 3)).astype(np.float32))
+            vs, cheb = sc.sample_color_tracking(pos)
+            assert np.array_equal(np.asarray(vs),
+                                  np.asarray(sc.sample_color(pos)))
+            assert float(jnp.max(cheb)) == 0.0
+        out[key] = np.asarray(mcs.generate(sc, params, jnp.float32(0.4),
+                                           24, 24))
+    np.testing.assert_allclose(out["exact"], out["skip"], rtol=0, atol=1e-5)
+
+
+def test_mcs_tracking_converges_to_exact_image():
+    from vpt_tpu.renderers import mcs
+
+    n = 12
+    params = mcs.Params(extinction=40.0)
+    vol = volume.sphere_volume(32)
+    tf = _zero_floor_tf(alpha_scale=1.0)
+    imgs = {}
+    for key, mode in (("exact", "none"), ("skip", "cheb")):
+        sc = make_scene(vol, tf, tracking=mode)
+        r = make_renderer("mcs", params=params, height=n, width=n)
+        imgs[key] = np.asarray(r.render_progressive(sc, frames=200,
+                                                    seed0=3))
+    assert np.abs(imgs["exact"] - imgs["skip"]).max() < 0.15
+    assert np.abs(imgs["exact"].mean() - imgs["skip"].mean()) < 0.02

@@ -84,7 +84,9 @@ def _build_context(args):
     from .transfer import TransferFunctionBumps, gray_ramp, rasterize
 
     ctx = RenderingContext(resolution=args.resolution,
-                           precision=args.precision)
+                           precision=args.precision,
+                           tracking=getattr(args, "tracking", "auto"),
+                           tf_srgb=getattr(args, "tf_srgb", False))
     ctx.set_volume(_load_volume(args))
 
     if args.tf:
@@ -167,6 +169,16 @@ def _add_common_args(p):
     p.add_argument("--precision", default="fast",
                    choices=["fast", "exact"],
                    help="fast: bf16 sampling tables (~4x); exact: float32")
+    p.add_argument("--tracking", default="auto",
+                   choices=["none", "cheb", "grid", "auto"],
+                   help="empty-space tracking for the MC renderers: "
+                        "cheb-skip rides the corner gather (auto engages "
+                        "it on scenes with TF-empty cells); grid = the "
+                        "coarse local-majorant grid; none = the exact "
+                        "GLSL-stream machine")
+    p.add_argument("--tf-srgb", action="store_true",
+                   help="run the TF through the reference's SRGB8_ALPHA8 "
+                        "texture semantics (8-bit quantize + sRGB decode)")
     for key, module in sorted(factory.MODULES.items()):
         _add_params_args(p, key, module.Params)
 

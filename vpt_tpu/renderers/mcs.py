@@ -13,6 +13,13 @@ TPU mapping: the unbounded GLSL ``do/while`` tracking loops become
 ``lax.while_loop`` over the full pixel grid with per-pixel done masks —
 inactive lanes stop consuming RNG draws, so each pixel's uint32 stream
 matches a sequential execution exactly.
+
+Scenes built with ``tracking="cheb"``/``"auto"`` extend each free flight
+to at least (cheb − 1) empty voxels exactly as in mcm.py (the carried
+Chebyshev distance comes from the tracking sampler's own gather; a hop
+landing is always TF-empty, so the collision test fails by itself and
+the draw-count logic is unchanged) — a different RNG stream, the same
+estimator.
 """
 
 from __future__ import annotations
@@ -51,58 +58,79 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     end = ray_from + tb[..., 1:2] * direction
     max_distance = jnp.sqrt(jnp.sum((end - start) ** 2, axis=-1))
 
+    use_skip = scene.tracking_packed is not None
+    if use_skip:
+        dvol, hvol, wvol = scene.volume.shape[:3]
+        cell = min(1.0 / dvol, 1.0 / hvol, 1.0 / wvol)
+
     def alpha_at(pos):
-        return scene.sample_color(pos)[..., 3]
+        """(alpha, cheb) at pos — cheb is 0 without a tracking table."""
+        if use_skip:
+            vs, cheb = scene.sample_color_tracking(pos)
+            return vs[..., 3], cheb
+        return scene.sample_color(pos)[..., 3], None
+
+    def extend(d, cheb):
+        """Free-flight extension through the provably-empty ball around
+        the previous landing (cheb-skip; exact by memorylessness)."""
+        if not use_skip:
+            return d
+        return jnp.maximum(d, jnp.maximum(cheb - 1.0, 0.0) * cell)
 
     def sample_distance(state, seg_from, seg_to, max_dist):
         """sampleDistance (glsl:70-87): lanes exceeding max_dist consume 1
         draw in their last iteration; colliding/continuing lanes 2."""
         def cond(carry):
-            _, _, done, it = carry
+            _, _, done, _, it = carry
             return jnp.any(~done) & (it < _MAX_TRACKING_ITERS)
 
         def body(carry):
-            st, dist, done, it = carry
+            st, dist, done, cheb, it = carry
             s1, d = rng.exponential(st, params.extinction)
-            ndist = dist + d
+            ndist = dist + extend(d, cheb)
             over = ndist > max_dist
             pos = seg_from + (ndist / max_dist)[..., None] * (seg_to - seg_from)
             s2, u = rng.uniform(s1)
-            collide = (~over) & (u < alpha_at(pos))
+            alpha, cheb_new = alpha_at(pos)
+            collide = (~over) & (u < alpha)
             st_next = jnp.where(done, st, jnp.where(over, s1, s2))
             dist_next = jnp.where(done, dist, ndist)
-            return st_next, dist_next, done | over | collide, it + 1
+            if use_skip:
+                cheb = jnp.where(done, cheb, cheb_new)
+            return st_next, dist_next, done | over | collide, cheb, it + 1
 
         done0 = jnp.zeros(state.shape, bool)
         dist0 = jnp.zeros(state.shape, jnp.float32)
-        state, dist, _, _ = lax.while_loop(cond, body,
-                                           (state, dist0, done0, 0))
+        state, dist, _, _, _ = lax.while_loop(
+            cond, body, (state, dist0, done0, dist0, 0))
         return state, dist
 
     def sample_transmittance(state, seg_from, seg_to, max_dist):
         """sampleTransmittance (glsl:89-105): one draw per iteration."""
         def cond(carry):
-            _, _, _, done, it = carry
+            _, _, _, done, _, it = carry
             return jnp.any(~done) & (it < _MAX_TRACKING_ITERS)
 
         def body(carry):
-            st, dist, trans, done, it = carry
+            st, dist, trans, done, cheb, it = carry
             s1, d = rng.exponential(st, params.extinction)
-            ndist = dist + d
+            ndist = dist + extend(d, cheb)
             over = ndist > max_dist
             pos = seg_from + (ndist / max_dist)[..., None] * (seg_to - seg_from)
             active = (~done) & (~over)
+            alpha, cheb_new = alpha_at(pos)
             st_next = jnp.where(done, st, s1)
             dist_next = jnp.where(done, dist, ndist)
-            trans_next = jnp.where(active, trans * (1.0 - alpha_at(pos)),
-                                   trans)
-            return st_next, dist_next, trans_next, done | over, it + 1
+            trans_next = jnp.where(active, trans * (1.0 - alpha), trans)
+            if use_skip:
+                cheb = jnp.where(done, cheb, cheb_new)
+            return st_next, dist_next, trans_next, done | over, cheb, it + 1
 
         done0 = jnp.zeros(state.shape, bool)
         dist0 = jnp.zeros(state.shape, jnp.float32)
         trans0 = jnp.ones(state.shape, jnp.float32)
-        state, _, trans, _, _ = lax.while_loop(
-            cond, body, (state, dist0, trans0, done0, 0))
+        state, _, trans, _, _, _ = lax.while_loop(
+            cond, body, (state, dist0, trans0, done0, dist0, 0))
         return state, trans
 
     # per-frame scattering direction (uniform sphere, seed-derived)
@@ -121,7 +149,8 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     sto = spoint + scatter_dir * tb2[..., 1:2]
     sdist = jnp.sqrt(jnp.sum((sto - spoint) ** 2, axis=-1))
 
-    diffuse = scene.sample_color(spoint)
+    diffuse = scene.sample_color_tracking(spoint)[0] if use_skip \
+        else scene.sample_color(spoint)
     light = scene.sample_env(scatter_dir)
     state, trans = sample_transmittance(state, spoint, sto,
                                         jnp.maximum(sdist, 1e-20))

@@ -27,12 +27,19 @@ from .profiler import RenderProfiler
 
 class RenderingContext:
     def __init__(self, resolution: int = 512, filter: str = "linear",
-                 precision: str = "fast"):
+                 precision: str = "fast", tracking: str = "auto",
+                 tf_srgb: bool = False):
         self.resolution = resolution
         self.filter = filter
         # 'fast' packs bf16 sampling tables (~4x faster, 8-bit-mantissa
         # tables ~ the reference's R8/SRGB8 textures); 'exact' keeps float32
         self.precision = precision
+        # empty-space tracking policy for the MC renderers
+        # (make_scene(tracking=...)); "auto" engages cheb-skip on scenes
+        # with TF-empty cells
+        self.tracking = tracking
+        # run the TF through the reference's SRGB8_ALPHA8 texture semantics
+        self.tf_srgb = tf_srgb
 
         self.camera: Node = default_camera()
         self.camera_animator = OrbitCameraAnimator(self.camera)
@@ -121,7 +128,9 @@ class RenderingContext:
                 self.volume, self.transfer_texture, camera=cam,
                 environment=self.environment,
                 pack_dtype=jnp.bfloat16 if fast else None,
-                tf_mxu=fast)  # MXU one-hot 1D TF: same precision class
+                tf_mxu=fast,  # MXU one-hot 1D TF: same precision class
+                tf_srgb=self.tf_srgb,
+                tracking=self.tracking)
             self._scene_dirty = False
             self._camera_dirty = False
         elif self._camera_dirty:
