@@ -359,3 +359,34 @@ def test_viewer_focus_pan_moves_camera():
     server._apply_query(dict(base, focus=["0.3,0,0"]))
     eye1 = np.asarray(ctx.camera.transform.local_translation)
     assert np.allclose(eye1 - eye0, [0.3, 0, 0], atol=1e-6)
+
+
+def test_orbit_animator_fly_and_roll():
+    """WASD fly translates the focus along the view basis
+    (OrbitCameraAnimator.js:130-160); roll spins the camera about the
+    view axis without moving eye or focus."""
+    from vpt_tpu.runtime.animators import OrbitCameraAnimator
+    from vpt_tpu.scene import default_camera
+
+    cam = default_camera()
+    orbit = OrbitCameraAnimator(cam)
+    focus0 = orbit.focus.copy()
+    eye0 = np.asarray(cam.transform.local_translation).copy()
+
+    orbit.fly(forward=0.5)
+    right, up, back = orbit._basis()
+    moved = orbit.focus - focus0
+    # forward = toward the focus = -back
+    assert np.allclose(moved, -0.5 * back * orbit.translation_speed,
+                       atol=1e-6)
+    eye1 = np.asarray(cam.transform.local_translation)
+    assert np.allclose(eye1 - eye0, moved, atol=1e-6)  # eye moves with it
+
+    rot_before = np.asarray(cam.transform.local_rotation).copy()
+    orbit.roll_by(0.7)
+    assert abs(orbit.roll - 0.7) < 1e-9
+    assert not np.allclose(np.asarray(cam.transform.local_rotation),
+                           rot_before)
+    # eye and focus unchanged by roll
+    assert np.allclose(np.asarray(cam.transform.local_translation), eye1)
+    assert np.allclose(orbit.focus, focus0 + moved)
