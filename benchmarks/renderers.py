@@ -20,14 +20,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_renderer(key: str, size: int, frames: int) -> dict:
+def bench_renderer(key: str, size: int, frames: int,
+                   lao_baked: bool = False) -> dict:
     from vpt_tpu import transfer, volume
     from vpt_tpu.renderers import factory, make_scene
 
     vol = volume.sphere_volume(128)
+    if lao_baked:
+        # opt-in (value, |grad|) fast mode: 1 volume tap replaces 7/slice
+        vol = volume.with_lao_gradient(vol)
     tf = transfer.gray_ramp(alpha_scale=0.8)
     scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True)
-    renderer = factory.make_renderer(key, height=size, width=size)
+    if lao_baked:
+        from vpt_tpu.renderers import lao
+
+        renderer = factory.make_renderer(
+            key, params=lao.Params(baked_gradient=True),
+            height=size, width=size)
+    else:
+        renderer = factory.make_renderer(key, height=size, width=size)
     renderer.reset(scene)
 
     def sync():
@@ -42,7 +53,7 @@ def bench_renderer(key: str, size: int, frames: int) -> dict:
     sync()
     ms = (time.perf_counter() - t0) / frames * 1e3
     return {
-        "renderer": key,
+        "renderer": key + ("+baked" if lao_baked else ""),
         "ms_per_frame": round(ms, 2),
         "fps": round(1000.0 / ms, 1),
         "within_budget": ms <= 16.0,
@@ -53,6 +64,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated renderer keys (default: all)")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu - the "
                          "JAX_PLATFORMS env var is pinned at interpreter "
@@ -68,9 +81,13 @@ def main():
     probe_backend()
     from vpt_tpu.renderers import factory
 
-    for key in factory.MODULES:
+    keys = args.only.split(",") if args.only else list(factory.MODULES)
+    for key in keys:
         print(json.dumps(bench_renderer(key, args.size, args.frames)),
               flush=True)
+        if key == "lao":
+            print(json.dumps(bench_renderer(key, args.size, args.frames,
+                                            lao_baked=True)), flush=True)
 
 
 if __name__ == "__main__":
