@@ -72,6 +72,12 @@ def box_blur(vol, k: int):
     return v[..., None]
 
 
+def _base_params():
+    from vpt_tpu.renderers import mcm as mcm_mod
+
+    return mcm_mod.Params(extinction=25.0, anisotropy=0.2, steps=8)
+
+
 def orbit_cameras(yaws_deg, pitches=None):
     import math
 
@@ -136,6 +142,11 @@ def main():
                     help="override the final stage's step count")
     ap.add_argument("--tv", type=float, default=0.0,
                     help="total-variation prior weight (optional)")
+    ap.add_argument("--exts", default="25,5",
+                    help="comma-separated target extinctions; the first "
+                         "is primary (gallery/params), later ones are the "
+                         "low-extinction capture that penetrates occluded "
+                         "cores (fine stages only)")
     args = ap.parse_args()
 
     import jax
@@ -154,38 +165,54 @@ def main():
 
     n = 64 if args.quick else 256
     res = 64 if args.quick else 256
-    min_spp = 64 if args.quick else 1024
-    grad_frames = 2 if args.quick else 4
+    min_spp = 64 if args.quick else 2048
     n_views = 4 if args.quick else 10
-    # coarse-to-fine schedule: (volume resolution, SGD steps)
+    exts = tuple(float(x) for x in args.exts.split(","))
+    # coarse-to-fine schedule: (grid, steps, grad frames, adam lr0, dual)
+    # - the coarsest stage fits the PRIMARY extinction only: a too-coarse
+    #   transport model biases the low-extinction images' optimum (the
+    #   image-optimal 32^3 volume undershoots blob cores), so the aux
+    #   extinction only joins once the model can represent the cores
+    # - the aux (lower) extinction penetrates the cores the primary one
+    #   occludes (measured: at ext 25 the cores are a gradient null space,
+    #   BENCH_NOTES.md "config-3 null space")
     if args.quick:
-        stages = [(16, 6), (32, 6), (n, args.steps or 6)]
+        stages = [(16, 6, 2, 3e-3, False), (n, args.steps or 6, 2,
+                   1e-3, True)]
     else:
-        stages = [(32, 160), (64, 120), (128, 90),
-                  (256, args.steps or 90)]
+        stages = [(32, 300, 16, 3e-3, False),
+                  (64, 200, 8, 1.5e-3, True),
+                  (128, 150, 6, 8e-4, True),
+                  (256, args.steps or 120, 4, 5e-4, True)]
 
     truth = volume.blobs_volume(n, seed=3, count=6).data
     tf = transfer.gray_ramp(alpha_scale=0.9)
-    params = mcm_mod.Params(extinction=25.0, anisotropy=0.2, steps=8)
     pitches = (0.25, -0.35)
     cams = orbit_cameras(np.arange(n_views) * (360.0 / n_views), pitches)
 
     print(f"config 3: {n}^3 volume, {res}^2 images, {n_views} views, "
-          f">= {min_spp} spp targets, stages {stages}")
+          f"extinctions {exts}, >= {min_spp} spp targets, stages {stages}")
     t_all = time.perf_counter()
-    targets = [render_target(truth, tf, cam, params, res, min_spp,
-                             f"target view {i}")
-               for i, cam in enumerate(cams)]
+    tsets = {}
+    for ext in exts:
+        p_ext = dataclasses.replace(_base_params(), extinction=ext)
+        tsets[ext] = [render_target(truth, tf, cam, p_ext, res, min_spp,
+                                    f"target e{ext:g} v{i}")
+                      for i, cam in enumerate(cams)]
+    params = dataclasses.replace(_base_params(), extinction=exts[0])
+    targets = tsets[exts[0]]
 
     init = jnp.clip(0.55 * box_blur(truth, 13), 0.0, 1.0)
     voxel_mse0 = float(jnp.mean((init - truth) ** 2))
     templates = [make_scene(truth, tf, camera=cam, pack=False)
                  for cam in cams]
-    targets_j = jnp.stack([jnp.asarray(t) for t in targets])
+    tstack = {ext: jnp.stack([jnp.asarray(t) for t in tsets[ext]])
+              for ext in exts}
 
-    def loss_fn(voxels, scene_tmpl, target, seed0):
+    def loss_fn(voxels, scene_tmpl, tgts, seed0, grad_frames, use_exts):
         # one view per step (stochastic multi-view SGD): camera matrices
-        # are traced scene leaves, so all views share one compiled graph.
+        # are traced scene leaves, so all views share one compiled graph;
+        # extinction is traced too, so every (view, extinction) pair does.
         # The fold keeps the backward scatter below the row-count cliff
         # (+37% grad throughput at 256^3, sampling.py's fold note).
         fold = sampling.scatter_fold_log2(
@@ -196,11 +223,15 @@ def main():
             scene_tmpl, volume=voxels, volume_packed=packed,
             transfer_packed=sampling.pack_corner_texture2d(
                 scene_tmpl.transfer))
-        a = diff_mc.mcm_expected_image(sc, params, res, res, grad_frames,
-                                       seed0=seed0)
-        b = diff_mc.mcm_expected_image(sc, params, res, res, grad_frames,
-                                       seed0=seed0 + 131.9)
-        loss = jnp.mean((a - target) * (b - target))
+        loss = 0.0
+        for ext, tgt in zip(use_exts, tgts):
+            p_ext = dataclasses.replace(params, extinction=ext)
+            a = diff_mc.mcm_expected_image(sc, p_ext, res, res,
+                                           grad_frames, seed0=seed0 + ext)
+            b = diff_mc.mcm_expected_image(sc, p_ext, res, res,
+                                           grad_frames,
+                                           seed0=seed0 + ext + 131.9)
+            loss = loss + jnp.mean((a - tgt) * (b - tgt))
         if args.tv > 0.0:
             v = voxels[..., 0]
             tv = sum(jnp.mean((jnp.roll(v, -1, a_) - v) ** 2)
@@ -211,23 +242,25 @@ def main():
     losses = []
     vol_fit = None
     t_fit = time.perf_counter()
-    for n_fit, opt_steps in stages:
+    for n_fit, opt_steps, grad_frames, lr0, dual in stages:
         vol_fit = resize_volume(init if vol_fit is None else vol_fit,
                                 n_fit)
         vol_fit = jnp.clip(vol_fit, 0.0, 1.0)
-        # per-voxel gradient magnitude scales with events per voxel, so
-        # the lr scales with the stage's voxel count (measured heuristic)
-        lr = (args.lr or 30.0) * (n_fit / 64.0)
-        optimizer = optax.sgd(lr, momentum=0.9)
+        use_exts = exts if (dual and len(exts) > 1) else exts[:1]
+        sched = optax.cosine_decay_schedule(lr0, opt_steps, alpha=0.05)
+        optimizer = optax.adam(sched)
         opt_state = optimizer.init(vol_fit)
-        step_fn = jax.jit(jax.value_and_grad(loss_fn))
+        step_fn = jax.jit(jax.value_and_grad(
+            lambda v_, tm_, tg_, s_, gf=grad_frames, ue=use_exts:
+            loss_fn(v_, tm_, tg_, s_, gf, ue)))
         order = np.random.default_rng(n_fit).permutation
         view_seq = np.concatenate(
             [order(n_views) for _ in range(opt_steps // n_views + 1)])
         t_stage = time.perf_counter()
         for s in range(opt_steps):
             vi = int(view_seq[s])
-            loss, g = step_fn(vol_fit, templates[vi], targets_j[vi],
+            tgts = tuple(tstack[ext][vi] for ext in use_exts)
+            loss, g = step_fn(vol_fit, templates[vi], tgts,
                               0.31 * s + 1000.0 * n_fit)
             updates, opt_state = optimizer.update(g, opt_state, vol_fit)
             vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates),
@@ -235,8 +268,8 @@ def main():
             losses.append(float(loss))
             if s % 20 == 0 or s == opt_steps - 1:
                 up = resize_volume(vol_fit, n)
-                print(f"  [{n_fit}^3] step {s:4d}: A/B loss "
-                      f"{losses[-1]:+.6f}  voxel MSE "
+                print(f"  [{n_fit}^3{'x' + str(len(use_exts)) + 'ext' if len(use_exts) > 1 else ''}] "
+                      f"step {s:4d}: A/B loss {losses[-1]:+.6f}  voxel MSE "
                       f"{float(jnp.mean((up - truth) ** 2)):.6f}",
                       flush=True)
         print(f"  [{n_fit}^3] stage done in "
@@ -262,7 +295,7 @@ def main():
 
     summary = {
         "config": f"mcm/{n}^3/{res}^2/{n_views}views/{min_spp}spp/"
-                  f"c2f{'+tv' if args.tv else ''}",
+                  f"c2f/ext{args.exts}{'+tv' if args.tv else ''}",
         "image_mse_first": losses[0], "image_mse_last": losses[-1],
         "voxel_mse_init": voxel_mse0, "voxel_mse_fitted": voxel_mse1,
         "fit_seconds": round(fit_dt, 1),
