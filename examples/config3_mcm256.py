@@ -103,9 +103,24 @@ def resize_volume(vol, n):
     return jax.image.resize(vol, (n, n, n, vol.shape[-1]), "trilinear")
 
 
+_RENDER_JIT = {}
+
+
+def _frame_fn():
+    """One jit wrapper shared by every render_target call — a fresh
+    jax.jit(...) per call would pay the (minutes-long, remote) compile
+    for every target even though the shapes never change."""
+    import jax
+
+    from vpt_tpu.renderers import mcm
+
+    if "fn" not in _RENDER_JIT:
+        _RENDER_JIT["fn"] = jax.jit(mcm.render_frame, donate_argnums=(0,))
+    return _RENDER_JIT["fn"]
+
+
 def render_target(vol, tf, cam, params, res, min_spp, label):
     """Progressive analog MCM until mean samples/pixel >= min_spp."""
-    import jax
     import jax.numpy as jnp
 
     from vpt_tpu.renderers import make_scene, mcm
@@ -113,7 +128,7 @@ def render_target(vol, tf, cam, params, res, min_spp, label):
     scene = make_scene(vol, tf, camera=cam, pack_dtype=jnp.bfloat16,
                        tf_mxu=True)
     state = mcm.reset(params, res, res, scene)
-    frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
+    frame_fn = _frame_fn()
     i, spp = 0, 0.0
     t0 = time.perf_counter()
     while spp < min_spp:
