@@ -184,21 +184,23 @@ def main():
     n_views = 4 if args.quick else 10
     exts = tuple(float(x) for x in args.exts.split(","))
     # coarse-to-fine schedule: (grid, steps, grad frames, adam lr0, dual)
-    # - the coarsest stage fits the PRIMARY extinction only: a too-coarse
+    # - coarse/mid stages fit the PRIMARY extinction only: a coarse
     #   transport model biases the low-extinction images' optimum (the
-    #   image-optimal 32^3 volume undershoots blob cores), so the aux
-    #   extinction only joins once the model can represent the cores
+    #   image-optimal coarse volume undershoots blob cores — measured at
+    #   32^3 AND 64^3), so the aux extinction joins only at the native
+    #   resolution where the model gap is gone
     # - the aux (lower) extinction penetrates the cores the primary one
-    #   occludes (measured: at ext 25 the cores are a gradient null space,
-    #   BENCH_NOTES.md "config-3 null space")
+    #   occludes (measured: at ext 25 the cores are a gradient null space;
+    #   at ext 5 their image signal is ~30x the pixel noise but localized
+    #   — BENCH_NOTES.md "config-3 null space")
     if args.quick:
         stages = [(16, 6, 2, 3e-3, False), (n, args.steps or 6, 2,
                    1e-3, True)]
     else:
         stages = [(32, 300, 16, 3e-3, False),
-                  (64, 200, 8, 1.5e-3, True),
-                  (128, 150, 6, 8e-4, True),
-                  (256, args.steps or 120, 4, 5e-4, True)]
+                  (64, 200, 8, 1.5e-3, False),
+                  (128, 150, 6, 8e-4, False),
+                  (256, args.steps or 160, 4, 5e-4, True)]
 
     truth = volume.blobs_volume(n, seed=3, count=6).data
     tf = transfer.gray_ramp(alpha_scale=0.9)
