@@ -15,25 +15,34 @@ Pipeline:
 3. Perturbation: truth box-blurred (13³) and dimmed 0.55× — geometry
    smeared and extinction wrong.  (The blur error lives at a coarse
    spatial scale, which is exactly what the 32³ stage can see and fix.)
-4. Recovery: SGD+momentum on the raw voxel grid through the detached-
+4. Recovery: per-stage Adam on the raw voxel grid through the detached-
    decision MC estimator (diff_mc.mcm_expected_image) with in-graph
    corner packing, A/B-split loss, one randomly-cycled view per step
-   (stochastic multi-view SGD — one compiled step graph for all views,
-   cameras passed as traced scene matrices), optional TV prior, coarse
-   to fine.
+   (stochastic multi-view SGD — one compiled step graph for every
+   (view, extinction) pair, cameras and extinction passed as traced
+   values), optional TV prior, coarse to fine with a dual-extinction
+   final stage.
 5. Artifacts: loss curve + voxel-MSE numbers on stdout (and JSON), a
    target/init/fitted gallery PNG per view.
 
-Variance control (measured at 64³ before scaling up):
+Variance control and optimizer choice (all measured — r2 at 64³, r3 on
+the full multiresolution pipeline):
 - **A/B-split loss** ``mean((A−t)(B−t))`` over two independent estimates:
   a plain MSE on a few-frame MC estimate is dominated by the estimate's
   own variance (measured loss(truth) ≈ loss(init)), so its gradient
   optimizes the estimator's variance, not the match.  The split removes
   the variance term (unbiased estimate of the squared bias).
-- **SGD+momentum, not Adam**: Adam's per-coordinate normalization turns
-  the noise-dominated gradients of rarely-visited voxels into lr-sized
-  random walks across the whole 16M-voxel grid (measured: voxel MSE
-  *rises* under Adam, falls monotonically under SGD+momentum).
+- **Adam with cosine decay, per stage** (r3 revision of the r2 SGD
+  choice): at 256³ single-resolution Adam random-walks rarely-visited
+  voxels (the r2 measurement), but in the coarse-to-fine schedule every
+  coarse-stage voxel is densely constrained, where Adam descends 2×
+  faster than SGD+momentum (BENCH_NOTES "config-3 null space").
+- **Dual-extinction capture**: at the primary extinction the blob cores
+  are optically occluded (a measured gradient null space — core-bucket
+  MSE never moves); a second, lower-extinction target set carries core
+  signal (~30× pixel noise, localized) and joins at the native
+  resolution, where the transport-model gap that biases it at coarse
+  grids is gone.
 - diff_mc also exposes ``score_floor`` (drops the 1/p score tail of
   low-probability decisions) as a biased-but-bounded fallback; not
   needed for this config.
