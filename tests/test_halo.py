@@ -127,3 +127,42 @@ def test_halo_march_renderers_match(scene, key):
     frame_fn, slabs = sharded_render_frame(module, mesh, scene, 2, state)
     out = frame_fn(state, slabs, params, jnp.float32(0.3), jnp.int32(1))
     assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-6)
+
+
+def test_halo_mcm_tracking_matches_replicated():
+    """Cheb-skip under spatial sharding: the slab tracking tables are row
+    slices of the global table (chebdist is a global property), and the
+    sharded tracking machine must reproduce the replicated one bit for
+    bit — same hops, same draws, same deposits."""
+    tf = np.asarray(transfer.gray_ramp(alpha_scale=0.8)).copy()
+    tf[:, :8, 3] = 0.0                       # exactly-empty TF floor
+    sc = make_scene(volume.blobs_volume(16, seed=5), jnp.asarray(tf),
+                    tracking="cheb")
+    assert sc.tracking_packed is not None
+    mesh = make_mesh(8, space=4)
+    params = mcm.Params(extinction=30.0, steps=8)
+    h = w = 16
+
+    s0 = mcm.reset(params, h, w, sc)
+    assert "cheb" in s0
+    ref = mcm.render_frame(s0, sc, params, jnp.float32(0.7), jnp.int32(1))
+    ref = mcm.render_frame(ref, sc, params, jnp.float32(0.9), jnp.int32(2))
+
+    state = place_state(mcm.reset(params, h, w, sc), mesh)
+    frame_fn, slabs = sharded_render_frame(mcm, mesh, sc, 4, state)
+    out = frame_fn(state, slabs, params, jnp.float32(0.7), jnp.int32(1))
+    out = frame_fn(out, slabs, params, jnp.float32(0.9), jnp.int32(2))
+
+    for key in ref:
+        a, b = np.asarray(ref[key]), np.asarray(out[key])
+        if key == "position":
+            # the hop distance comes through the ownership-mask psum,
+            # whose reassociation can move the committed position by
+            # exactly 1 ulp (the documented shard_map caveat; every
+            # discrete field below is bitwise identical, i.e. no branch
+            # flipped)
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-7)
+        else:
+            assert np.array_equal(a, b), key
+    # the skip actually engaged (some photons carry nonzero cheb)
+    assert float(np.asarray(out["cheb"]).max()) > 0

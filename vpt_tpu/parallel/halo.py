@@ -60,7 +60,8 @@ class HaloScene:
 
     def __init__(self, slab, slab_index, num_slabs: int, volume_shape,
                  transfer, environment, mvp_inverse, model_view, projection,
-                 axis: str = "space", slab_packed=None, transfer_packed=None):
+                 axis: str = "space", slab_packed=None, transfer_packed=None,
+                 slab_tracking=None):
         self.slab = slab                    # (Ds+1, H, W, C)
         self.slab_index = slab_index
         self.num_slabs = num_slabs
@@ -72,9 +73,13 @@ class HaloScene:
         self.projection = projection
         self.axis = axis
         self.majorant = None   # local-majorant tracking: replicated-scene only
-        self.tracking_packed = None   # cheb-skip: replicated-scene only
         self.slab_packed = slab_packed     # ((Ds+1)·H·W, 8·C) or None
         self.transfer_packed = transfer_packed
+        #: cheb-skip: this slab's slice of the GLOBAL tracking table
+        #: (chebdist is a global property, so slab tables are literal row
+        #: slices of skipgrid.pack_tracking_volume's output) — the mcm/mcs
+        #: use_skip branches duck-type on this attribute
+        self.tracking_packed = slab_tracking
 
     # -- trilinear over the local slab with ownership masking --------------
     def _sample(self, position):
@@ -100,24 +105,8 @@ class HaloScene:
             # volume (shard_volume_with_halo replicates the last z plane).
             # Folded slab tables (differentiable path, sampling.py's fold
             # note) are detected from the static row count.
-            from .. import sampling
-
-            # total_rows derives from the slab that produced slab_packed
-            # (not the global shape) so a halo-depth mismatch raises in
-            # gather_packed_corners instead of mis-detecting the fold
-            sd, sh, sw = self.slab.shape[:3]
-            assert (sd, sh, sw) == (ds + 1, h, w), \
-                f"slab shape {self.slab.shape} != expected ({ds + 1},{h},{w})"
-            rows = sampling.gather_packed_corners(
-                self.slab_packed, (zloc * h + y0) * w + x0,
-                sd * sh * sw, c)
-            cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
-                + rows[..., 1::2, :] * fx[..., None]
-            cy = cx[..., 0::2, :] * (1 - fy)[..., None] \
-                + cx[..., 1::2, :] * fy[..., None]
-            val = cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
-            val = jnp.where(local[..., None], val, 0.0)
-            return lax.psum(val, self.axis)
+            return self._trilinear_packed(self.slab_packed, c, zloc, y0,
+                                          x0, fx, fy, fz, local)
 
         x1 = jnp.minimum(x0 + 1, w - 1)
         y1 = jnp.minimum(y0 + 1, h - 1)
@@ -136,6 +125,63 @@ class HaloScene:
             + (c01 * (1 - fy) + c11 * fy) * fz
         val = jnp.where(local[..., None], val, 0.0)
         return lax.psum(val, self.axis)
+
+    def _trilinear_packed(self, table, c, zloc, y0, x0, fx, fy, fz, local):
+        """Ownership-masked psum trilinear over any slab-local corner
+        table (the volume table or the cheb-skip tracking table)."""
+        from .. import sampling
+
+        d, h, w = self.volume_shape[:3]
+        ds = d // self.num_slabs
+        # total_rows derives from the slab that produced the tables (not
+        # the global shape) so a halo-depth mismatch raises in
+        # gather_packed_corners instead of mis-detecting the fold
+        sd, sh, sw = self.slab.shape[:3]
+        assert (sd, sh, sw) == (ds + 1, h, w), \
+            f"slab shape {self.slab.shape} != expected ({ds + 1},{h},{w})"
+        rows = sampling.gather_packed_corners(
+            table, (zloc * h + y0) * w + x0, sd * sh * sw, c)
+        cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
+            + rows[..., 1::2, :] * fx[..., None]
+        cy = cx[..., 0::2, :] * (1 - fy)[..., None] \
+            + cx[..., 1::2, :] * fy[..., None]
+        val = cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
+        val = jnp.where(local[..., None], val, 0.0)
+        return lax.psum(val, self.axis)
+
+    def _cell_coords(self, position):
+        """(zloc, y0, x0, fx, fy, fz, local) for ``position`` — the
+        slab-local trilinear cell addressing shared by the samplers."""
+        d, h, w = self.volume_shape[:3]
+        ds = d // self.num_slabs
+        dims = jnp.array([w, h, d], jnp.float32)
+        u = jnp.clip(position * dims - 0.5, 0.0, dims - 1.0)
+        i0 = jnp.floor(u)
+        f = u - i0
+        i0 = jnp.clip(i0.astype(jnp.int32), 0,
+                      jnp.array([w - 1, h - 1, d - 1], jnp.int32))
+        x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+        owner = jnp.clip(z0 // ds, 0, self.num_slabs - 1)
+        local = owner == self.slab_index
+        zloc = jnp.clip(z0 - self.slab_index * ds, 0, ds - 1)
+        return zloc, y0, x0, f[..., 0:1], f[..., 1:2], f[..., 2:3], local
+
+    def sample_color_tracking(self, position):
+        """Cheb-skip sampler over the slab-sliced tracking table —
+        the spatially sharded twin of Scene.sample_color_tracking (one
+        masked gather + psum yields both color and skip distance)."""
+        zloc, y0, x0, fx, fy, fz, local = self._cell_coords(position)
+        v = self._trilinear_packed(self.tracking_packed, 1, zloc, y0, x0,
+                                   fx, fy, fz, local)[..., 0]
+        empty = v < -0.5
+        cheb = jnp.maximum(-v, 0.0)
+        value = jnp.maximum(v, 0.0)
+        uv = jnp.stack([value, jnp.zeros_like(value)], axis=-1)
+        vs = self.sample_transfer(uv)
+        vs = jnp.concatenate(
+            [vs[..., :3],
+             jnp.where(empty, 0.0, vs[..., 3])[..., None]], axis=-1)
+        return vs, cheb
 
     # -- Scene sampler interface ------------------------------------------
     def sample_volume_rg(self, position):
@@ -202,19 +248,31 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
         slabs_packed = jax.vmap(sampling.pack_corner_volume)(slabs)
         slabs_packed = slabs_packed.astype(scene.volume_packed.dtype)
         tf_packed = scene.transfer_packed
+    tracked = scene.tracking_packed is not None
+    if tracked:
+        # cheb-skip under spatial sharding: chebdist is a global property,
+        # so the per-slab tracking tables are literal row slices of the
+        # global table (same z-slab-with-halo layout as the volume)
+        d, h, w = volume_shape[:3]
+        lanes = scene.tracking_packed.shape[-1]
+        t3d = scene.tracking_packed.reshape(d, h, w, lanes)
+        slabs_tracking = shard_volume_with_halo(t3d, num_slabs).reshape(
+            num_slabs, -1, lanes)
 
     state_specs = jax.tree_util.tree_map(lambda _: P(), state_example)
 
-    def body(state, slab_block, packed_block, transfer, tf_packed,
-             environment, mvp_inverse, model_view, projection, params,
-             seed, frame_number):
+    def body(state, slab_block, packed_block, tracking_block, transfer,
+             tf_packed, environment, mvp_inverse, model_view, projection,
+             params, seed, frame_number):
         sidx = lax.axis_index(space_axis)
         hscene = HaloScene(
             slab_block[0], sidx, num_slabs, volume_shape, transfer,
             environment, mvp_inverse, model_view, projection,
             axis=space_axis,
             slab_packed=None if packed_block is None else packed_block[0],
-            transfer_packed=tf_packed)
+            transfer_packed=tf_packed,
+            slab_tracking=(None if tracking_block is None
+                           else tracking_block[0]))
         return module.render_frame(state, hscene, params, seed, frame_number)
 
     # manual only over `space`: each device's body sees the full pixel grid
@@ -224,6 +282,7 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
         body, mesh=mesh, axis_names={space_axis},
         in_specs=(state_specs, P(space_axis, None, None, None, None),
                   (P(space_axis, None, None) if packed else P()),
+                  (P(space_axis, None, None) if tracked else P()),
                   P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=state_specs,
         check_vma=False,
@@ -231,15 +290,21 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
 
     @jax.jit
     def frame_fn(state, slabs, params, seed, frame_number):
-        vol_slabs, pk = slabs if isinstance(slabs, tuple) else (slabs, None)
-        return mapped(state, vol_slabs, pk, scene.transfer,
+        if isinstance(slabs, tuple):
+            vol_slabs, pk, tk = (tuple(slabs) + (None, None))[:3]
+        else:
+            vol_slabs, pk, tk = slabs, None, None
+        return mapped(state, vol_slabs, pk, tk, scene.transfer,
                       tf_packed if packed else None, scene.environment,
                       scene.mvp_inverse, scene.model_view, scene.projection,
                       params, seed, frame_number)
 
     placed = jax.device_put(
         slabs, NamedSharding(mesh, P(space_axis, None, None, None, None)))
-    if packed:
-        placed = (placed, jax.device_put(
-            slabs_packed, NamedSharding(mesh, P(space_axis, None, None))))
+    if packed or tracked:
+        table_sh = NamedSharding(mesh, P(space_axis, None, None))
+        placed = (placed,
+                  jax.device_put(slabs_packed, table_sh) if packed else None,
+                  jax.device_put(slabs_tracking, table_sh) if tracked
+                  else None)
     return frame_fn, placed

@@ -96,9 +96,12 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
     use_skip = (not use_majorant and scene.tracking_packed is not None
                 and "cheb" in state)
     if use_skip:
-        d, h, w = scene.volume.shape[:3]
         # chebdist counts cells; cells are 1/N of each axis in normalized
         # units, so the safe L∞ hop uses the smallest cell dimension
+        # (volume_shape: HaloScene duck-type — it holds only its slab)
+        shape3 = getattr(scene, "volume_shape", None)
+        d, h, w = (shape3 if shape3 is not None
+                   else scene.volume.shape)[:3]
         cell = min(1.0 / d, 1.0 / h, 1.0 / w)
 
     def event(_, carry):

@@ -60,7 +60,10 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
 
     use_skip = scene.tracking_packed is not None
     if use_skip:
-        dvol, hvol, wvol = scene.volume.shape[:3]
+        # (volume_shape: HaloScene duck-type — it holds only its slab)
+        shape3 = getattr(scene, "volume_shape", None)
+        dvol, hvol, wvol = (shape3 if shape3 is not None
+                            else scene.volume.shape)[:3]
         cell = min(1.0 / dvol, 1.0 / hvol, 1.0 / wvol)
 
     def alpha_at(pos):
