@@ -68,14 +68,21 @@ def mcm_frame(mesh, shard_volume):
     return lowered.compile()
 
 
-def halo_frame(mesh, packed):
+def halo_frame(mesh, packed, tracking=False):
     """MCM over a z-slab halo-sharded volume (parallel/halo.py)."""
+    import numpy as np
+
     from vpt_tpu import transfer, volume
     from vpt_tpu.parallel.halo import sharded_render_frame
     from vpt_tpu.renderers import make_scene, mcm
 
-    scene = make_scene(volume.sphere_volume(16),
-                       transfer.gray_ramp(alpha_scale=1.0), pack=packed)
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    if tracking:
+        tf = np.asarray(tf).copy()
+        tf[:, :8, 3] = 0.0          # exactly-empty floor -> cheb-skip
+        tf = jnp.asarray(tf)
+    scene = make_scene(volume.sphere_volume(16), tf, pack=packed,
+                       tracking="cheb" if tracking else "none")
     params = mcm.Params(extinction=10.0, steps=4)
     state = mcm.reset(params, 32, 32, scene)
     frame_fn, slabs = sharded_render_frame(mcm, mesh, scene, 2, state)
@@ -144,6 +151,8 @@ def main():
         halo_frame(mesh, packed=False))
     results["mcm_frame_halo_packed"] = count_collectives(
         halo_frame(mesh, packed=True))
+    results["mcm_frame_halo_packed_cheb_tracking"] = count_collectives(
+        halo_frame(mesh, packed=True, tracking=True))
     results["train_step_monolithic"] = count_collectives(
         train_step(mesh, bucketed=False))
     results["train_step_bucketed"] = count_collectives(
