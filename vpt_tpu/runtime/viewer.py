@@ -52,7 +52,13 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
   <div id="rparams"></div>
   <label>Tone mapper</label><select id="tonemap"></select>
   <div id="tmparams"></div>
-  <label>Samples / request</label><input id="spp" type="number" value="4">
+  <label>Samples / request</label>
+  <div style="display:flex; gap:6px; align-items:center">
+    <input id="spp" type="number" value="4" style="flex:1; margin:2px 0">
+    <label style="white-space:nowrap; color:#888">
+      <input id="autospp" type="checkbox" checked style="width:auto"> auto
+    </label>
+  </div>
   <label>Resolution</label>
   <select id="resolution">
     <option>128</option><option>256</option><option selected>512</option>
@@ -362,6 +368,14 @@ async function loop() {
     frames += parseInt(document.getElementById('spp').value);
     document.getElementById('stats').textContent =
       `accumulated: ${frames} spp\\nlast request: ${dt.toFixed(0)} ms`;
+    if (document.getElementById('autospp').checked) {
+      // tune samples-per-request toward ~150 ms so interaction stays
+      // responsive while idle convergence uses bigger batches
+      const spp = parseInt(document.getElementById('spp').value),
+            next = Math.max(1, Math.min(64,
+              Math.round(spp * Math.min(4, 150 / Math.max(dt, 1)))));
+      if (next !== spp) document.getElementById('spp').value = next;
+    }
   }
   busy = false;
   setTimeout(loop, 1);
