@@ -129,15 +129,20 @@ def test_halo_march_renderers_match(scene, key):
     assert np.allclose(np.asarray(ref), np.asarray(out), atol=2e-6)
 
 
-def test_halo_mcm_tracking_matches_replicated():
+@pytest.mark.parametrize("tf_mxu", [False, True], ids=["tf-gather",
+                                                       "tf-mxu"])
+def test_halo_mcm_tracking_matches_replicated(tf_mxu):
     """Cheb-skip under spatial sharding: the slab tracking tables are row
     slices of the global table (chebdist is a global property), and the
     sharded tracking machine must reproduce the replicated one bit for
-    bit — same hops, same draws, same deposits."""
+    bit — same hops, same draws, same deposits.  Covers both TF lookup
+    paths: the sharded sampler must take the same one as the replicated
+    Scene (a different path would quantize alpha differently and flip
+    discrete branches)."""
     tf = np.asarray(transfer.gray_ramp(alpha_scale=0.8)).copy()
     tf[:, :8, 3] = 0.0                       # exactly-empty TF floor
     sc = make_scene(volume.blobs_volume(16, seed=5), jnp.asarray(tf),
-                    tracking="cheb")
+                    tracking="cheb", tf_mxu=tf_mxu)
     assert sc.tracking_packed is not None
     mesh = make_mesh(8, space=4)
     params = mcm.Params(extinction=30.0, steps=8)

@@ -180,6 +180,9 @@ def test_viewer_pose_change_keeps_renderer():
     del q5["rp"]
     server._apply_query(q5)
     assert float(ctx.renderer.params.extinction) == 7.0
+    # malformed rp payloads (valid JSON, wrong shape) fall back to defaults
+    for bad in ('[1]', '"x"', '3', 'not-json'):
+        server._apply_query(dict(q1, rp=[bad]))
 
 
 def test_viewer_info_schema_covers_all_params():

@@ -256,3 +256,40 @@ def test_mcs_tracking_converges_to_exact_image():
                                                     seed0=3))
     assert np.abs(imgs["exact"] - imgs["skip"]).max() < 0.15
     assert np.abs(imgs["exact"].mean() - imgs["skip"].mean()) < 0.02
+
+
+def test_resumed_tracking_state_runs_on_plain_scene():
+    """A photon state carrying the cheb slot (saved from a tracking render)
+    must keep rendering when resumed against a scene WITHOUT a tracking
+    table (checkpoint + --tracking none, or the auto policy flipping after
+    a TF edit) — the stale carry threads through unchanged."""
+    vol = volume.sphere_volume(16)
+    tf_track = _zero_floor_tf()
+    sc_track = make_scene(vol, tf_track, tracking="cheb")
+    sc_plain = make_scene(vol, tf_track, tracking="none")
+    params = mcm.Params(extinction=20.0, steps=4)
+    state = mcm.reset(params, 8, 8, sc_track)
+    assert "cheb" in state
+    state = mcm.render_frame(state, sc_track, params, jnp.float32(0.2),
+                             jnp.int32(1))
+    out = mcm.render_frame(state, sc_plain, params, jnp.float32(0.3),
+                           jnp.int32(2))
+    assert "cheb" in out
+    assert np.isfinite(np.asarray(out["radiance"])).all()
+
+
+def test_explicit_tracking_requests_do_not_silently_degrade():
+    tf = _zero_floor_tf()
+    # conflicting explicit machines: error
+    with pytest.raises(ValueError):
+        make_scene(_sparse_ball(16), tf, tracking="cheb", majorant_grid=8)
+    # unsupported explicit cheb (multi-channel volume): warn + fall back
+    vol2 = volume.with_gradient_magnitude(volume.sphere_volume(16))
+    with pytest.warns(UserWarning, match="tracking='cheb'"):
+        sc = make_scene(vol2, tf, tracking="cheb")
+    assert sc.tracking_packed is None
+    # unsupported explicit grid (12^3 not divisible by the 16^3 default):
+    # warn + fall back
+    with pytest.warns(UserWarning, match="tracking='grid'"):
+        sc = make_scene(_sparse_ball(12), tf, tracking="grid")
+    assert sc.majorant is None and sc.tracking_packed is None

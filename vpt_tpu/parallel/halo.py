@@ -61,7 +61,7 @@ class HaloScene:
     def __init__(self, slab, slab_index, num_slabs: int, volume_shape,
                  transfer, environment, mvp_inverse, model_view, projection,
                  axis: str = "space", slab_packed=None, transfer_packed=None,
-                 slab_tracking=None):
+                 slab_tracking=None, transfer_mxu=None):
         self.slab = slab                    # (Ds+1, H, W, C)
         self.slab_index = slab_index
         self.num_slabs = num_slabs
@@ -75,6 +75,7 @@ class HaloScene:
         self.majorant = None   # local-majorant tracking: replicated-scene only
         self.slab_packed = slab_packed     # ((Ds+1)·H·W, 8·C) or None
         self.transfer_packed = transfer_packed
+        self.transfer_mxu = transfer_mxu   # (TW, 4) or None
         #: cheb-skip: this slab's slice of the GLOBAL tracking table
         #: (chebdist is a global property, so slab tables are literal row
         #: slices of skipgrid.pack_tracking_volume's output) — the mcm/mcs
@@ -176,12 +177,23 @@ class HaloScene:
         empty = v < -0.5
         cheb = jnp.maximum(-v, 0.0)
         value = jnp.maximum(v, 0.0)
-        uv = jnp.stack([value, jnp.zeros_like(value)], axis=-1)
-        vs = self.sample_transfer(uv)
+        vs = self._tf_color_1d(value)
         vs = jnp.concatenate(
             [vs[..., :3],
              jnp.where(empty, 0.0, vs[..., 3])[..., None]], axis=-1)
         return vs, cheb
+
+    def _tf_color_1d(self, value):
+        """1D TF lookup with the same path priority as the replicated
+        Scene (MXU when present, else the packed/bilinear fetch) — a
+        different path would quantize alpha differently and flip discrete
+        MC branches vs the single-device render."""
+        if self.transfer_mxu is not None:
+            from .. import sampling
+
+            return sampling.sample_transfer_1d_mxu(self.transfer_mxu, value)
+        return self.sample_transfer(
+            jnp.stack([value, jnp.zeros_like(value)], axis=-1))
 
     # -- Scene sampler interface ------------------------------------------
     def sample_volume_rg(self, position):
@@ -202,7 +214,10 @@ class HaloScene:
         return sampling.sample_texture2d(self.transfer, uv)
 
     def sample_color(self, position):
-        return self.sample_transfer(self.sample_volume_rg(position))
+        rg = self.sample_volume_rg(position)
+        if self.transfer_mxu is not None and self.volume_shape[3] == 1:
+            return self._tf_color_1d(rg[..., 0])
+        return self.sample_transfer(rg)
 
     def sample_env(self, direction):
         from .. import sampling
@@ -262,8 +277,8 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
     state_specs = jax.tree_util.tree_map(lambda _: P(), state_example)
 
     def body(state, slab_block, packed_block, tracking_block, transfer,
-             tf_packed, environment, mvp_inverse, model_view, projection,
-             params, seed, frame_number):
+             tf_packed, tf_mxu, environment, mvp_inverse, model_view,
+             projection, params, seed, frame_number):
         sidx = lax.axis_index(space_axis)
         hscene = HaloScene(
             slab_block[0], sidx, num_slabs, volume_shape, transfer,
@@ -272,7 +287,8 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
             slab_packed=None if packed_block is None else packed_block[0],
             transfer_packed=tf_packed,
             slab_tracking=(None if tracking_block is None
-                           else tracking_block[0]))
+                           else tracking_block[0]),
+            transfer_mxu=tf_mxu)
         return module.render_frame(state, hscene, params, seed, frame_number)
 
     # manual only over `space`: each device's body sees the full pixel grid
@@ -283,7 +299,7 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
         in_specs=(state_specs, P(space_axis, None, None, None, None),
                   (P(space_axis, None, None) if packed else P()),
                   (P(space_axis, None, None) if tracked else P()),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=state_specs,
         check_vma=False,
     )
@@ -295,8 +311,9 @@ def sharded_render_frame(module, mesh: Mesh, scene: Scene, num_slabs: int,
         else:
             vol_slabs, pk, tk = slabs, None, None
         return mapped(state, vol_slabs, pk, tk, scene.transfer,
-                      tf_packed if packed else None, scene.environment,
-                      scene.mvp_inverse, scene.model_view, scene.projection,
+                      tf_packed if packed else None, scene.transfer_mxu,
+                      scene.environment, scene.mvp_inverse,
+                      scene.model_view, scene.projection,
                       params, seed, frame_number)
 
     placed = jax.device_put(

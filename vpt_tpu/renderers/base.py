@@ -322,6 +322,9 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
             transfer_banks, _ = tf1d.pack_table(transfer)
     if tracking not in ("none", "cheb", "grid", "auto"):
         raise ValueError(f"unknown tracking mode {tracking!r}")
+    if tracking == "cheb" and majorant_grid:
+        raise ValueError("tracking='cheb' conflicts with majorant_grid — "
+                         "the tracking machines are mutually exclusive")
     if tracking == "grid" and not majorant_grid:
         majorant_grid = 16
     majorant = None
@@ -330,11 +333,27 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
 
         majorant = skipgrid.build_majorant_grid(volume, transfer,
                                                 majorant_grid)
+        if majorant is None and tracking == "grid":
+            import warnings
+
+            warnings.warn(
+                "tracking='grid' requested but the majorant grid is "
+                "unsupported for this volume (multi-channel, or dims not "
+                "divisible by the grid size) — falling back to the exact "
+                "machine", stacklevel=2)
     tracking_packed = None
     if tracking in ("cheb", "auto") and majorant is None:
         from .. import skipgrid
 
         tracking_packed = skipgrid.pack_tracking_volume(volume, transfer)
+        if tracking_packed is None and tracking == "cheb":
+            import warnings
+
+            warnings.warn(
+                "tracking='cheb' requested but the tracking table is "
+                "unsupported for this volume (multi-channel, or negative "
+                "values) — falling back to the exact machine",
+                stacklevel=2)
         if tracking_packed is not None and tracking == "auto" \
                 and skipgrid.empty_fraction(tracking_packed) \
                 < AUTO_TRACKING_MIN_EMPTY:

@@ -205,6 +205,12 @@ def render_frame(state, scene: Scene, params: Params, seed, frame_number):
             # (scatter/null stay there, skips land there); 0 after a reset
             # (unknown — the next event tracks exactly, conservatively)
             new_ph["cheb"] = jnp.where(deposit, 0.0, cheb_new)
+        elif "cheb" in ph:
+            # a tracking-era state resumed against a non-tracking scene
+            # (e.g. checkpoint + --tracking none, or the auto policy
+            # flipping after a TF edit): thread the stale carry unchanged
+            # so the fori_loop pytree structure stays consistent
+            new_ph["cheb"] = ph["cheb"]
         new_state = jnp.where(deposit, rs_reset,
                               jnp.where(scatter, rs_scat, rstate))
         return new_ph, new_state

@@ -76,19 +76,25 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     def extend(d, cheb):
         """Free-flight extension through the provably-empty ball around
         the previous landing (cheb-skip; exact by memorylessness)."""
-        if not use_skip:
+        if not use_skip or cheb is None:
             return d
         return jnp.maximum(d, jnp.maximum(cheb - 1.0, 0.0) * cell)
 
+    # the cheb slot joins the loop carries ONLY in skip mode: a dead carry
+    # changes XLA's fusion context and reassociates the exact machine's
+    # floats by 1 ulp (observed in the GLSL-emulation comparisons)
     def sample_distance(state, seg_from, seg_to, max_dist):
         """sampleDistance (glsl:70-87): lanes exceeding max_dist consume 1
         draw in their last iteration; colliding/continuing lanes 2."""
         def cond(carry):
-            _, _, done, _, it = carry
-            return jnp.any(~done) & (it < _MAX_TRACKING_ITERS)
+            return jnp.any(~carry[2]) & (carry[-1] < _MAX_TRACKING_ITERS)
 
         def body(carry):
-            st, dist, done, cheb, it = carry
+            if use_skip:
+                st, dist, done, cheb, it = carry
+            else:
+                st, dist, done, it = carry
+                cheb = None
             s1, d = rng.exponential(st, params.extinction)
             ndist = dist + extend(d, cheb)
             over = ndist > max_dist
@@ -98,24 +104,30 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
             collide = (~over) & (u < alpha)
             st_next = jnp.where(done, st, jnp.where(over, s1, s2))
             dist_next = jnp.where(done, dist, ndist)
+            done_next = done | over | collide
             if use_skip:
                 cheb = jnp.where(done, cheb, cheb_new)
-            return st_next, dist_next, done | over | collide, cheb, it + 1
+                return st_next, dist_next, done_next, cheb, it + 1
+            return st_next, dist_next, done_next, it + 1
 
         done0 = jnp.zeros(state.shape, bool)
         dist0 = jnp.zeros(state.shape, jnp.float32)
-        state, dist, _, _, _ = lax.while_loop(
-            cond, body, (state, dist0, done0, dist0, 0))
-        return state, dist
+        carry0 = (state, dist0, done0, dist0, 0) if use_skip \
+            else (state, dist0, done0, 0)
+        out = lax.while_loop(cond, body, carry0)
+        return out[0], out[1]
 
     def sample_transmittance(state, seg_from, seg_to, max_dist):
         """sampleTransmittance (glsl:89-105): one draw per iteration."""
         def cond(carry):
-            _, _, _, done, _, it = carry
-            return jnp.any(~done) & (it < _MAX_TRACKING_ITERS)
+            return jnp.any(~carry[3]) & (carry[-1] < _MAX_TRACKING_ITERS)
 
         def body(carry):
-            st, dist, trans, done, cheb, it = carry
+            if use_skip:
+                st, dist, trans, done, cheb, it = carry
+            else:
+                st, dist, trans, done, it = carry
+                cheb = None
             s1, d = rng.exponential(st, params.extinction)
             ndist = dist + extend(d, cheb)
             over = ndist > max_dist
@@ -127,14 +139,17 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
             trans_next = jnp.where(active, trans * (1.0 - alpha), trans)
             if use_skip:
                 cheb = jnp.where(done, cheb, cheb_new)
-            return st_next, dist_next, trans_next, done | over, cheb, it + 1
+                return st_next, dist_next, trans_next, done | over, cheb, \
+                    it + 1
+            return st_next, dist_next, trans_next, done | over, it + 1
 
         done0 = jnp.zeros(state.shape, bool)
         dist0 = jnp.zeros(state.shape, jnp.float32)
         trans0 = jnp.ones(state.shape, jnp.float32)
-        state, _, trans, _, _, _ = lax.while_loop(
-            cond, body, (state, dist0, trans0, done0, dist0, 0))
-        return state, trans
+        carry0 = (state, dist0, trans0, done0, dist0, 0) if use_skip \
+            else (state, dist0, trans0, done0, 0)
+        out = lax.while_loop(cond, body, carry0)
+        return out[0], out[2]
 
     # per-frame scattering direction (uniform sphere, seed-derived)
     dir_state = rng.pcg(rng.float_bits_to_uint(seed) ^ jnp.uint32(0x9E3779B9))

@@ -423,6 +423,8 @@ class ViewerServer:
                 raw = json.loads(q["rp"][0])
             except (ValueError, TypeError):
                 raw = {}
+            if not isinstance(raw, dict):
+                raw = {}
         elif "extinction" in q:          # legacy single-knob clients
             raw = {"extinction": q["extinction"][0]}
         kwargs = {}

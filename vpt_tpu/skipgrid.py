@@ -147,15 +147,15 @@ def cell_empty_mask(packed_rows, transfer):
     return _tf_range_max(alpha_row, lo, hi) == 0.0
 
 
-def chebyshev_distance(occupied, cap: int = CHEB_CAP):
-    """(D, H, W) bool → float32 Chebyshev distance (in cells) to the nearest
-    True cell, clamped to ``cap``; cells outside the volume count as empty
-    (hops may overshoot the cube — the tracking loop's oob test catches
-    them).  Iterated separable 1D dilations (an L∞ ball is a box)."""
-    dist = jnp.where(occupied, 0.0, float(cap))
-    if not isinstance(occupied, jax.core.Tracer) \
-            and not bool(jnp.any(occupied)):
-        return dist                                 # fully empty volume
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _cheb_loop(cap: int):
+    """One fused, cached device loop per cap: a Python loop of ``cap``
+    dilations would cost ``cap`` dispatches (and on the tunneled backend,
+    round trips) at scene build; a fresh jax.jit per call would re-trace
+    and re-compile every scene rebuild (viewer TF edits)."""
 
     def dilate(k, carry):
         reach, dist = carry
@@ -171,11 +171,19 @@ def chebyshev_distance(occupied, cap: int = CHEB_CAP):
                                            float(cap)))
         return reach, dist
 
-    # one fused device loop: a Python loop of `cap` dilations costs `cap`
-    # dispatches (and on the tunneled backend, round trips) at scene build
-    _, dist = jax.jit(lambda r, d: lax.fori_loop(1, cap, dilate, (r, d)),
-                      static_argnames=())(occupied, dist)
-    return dist
+    return jax.jit(lambda r, d: lax.fori_loop(1, cap, dilate, (r, d))[1])
+
+
+def chebyshev_distance(occupied, cap: int = CHEB_CAP):
+    """(D, H, W) bool → float32 Chebyshev distance (in cells) to the nearest
+    True cell, clamped to ``cap``; cells outside the volume count as empty
+    (hops may overshoot the cube — the tracking loop's oob test catches
+    them).  Iterated separable 1D dilations (an L∞ ball is a box)."""
+    dist = jnp.where(occupied, 0.0, float(cap))
+    if not isinstance(occupied, jax.core.Tracer) \
+            and not bool(jnp.any(occupied)):
+        return dist                                 # fully empty volume
+    return _cheb_loop(int(cap))(occupied, dist)
 
 
 def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP):
