@@ -293,3 +293,39 @@ def test_explicit_tracking_requests_do_not_silently_degrade():
     with pytest.warns(UserWarning, match="tracking='grid'"):
         sc = make_scene(_sparse_ball(12), tf, tracking="grid")
     assert sc.majorant is None and sc.tracking_packed is None
+
+
+def test_tracking_respects_volume_filter():
+    """Tracking tables implement the linear filter only: nearest-filter
+    volumes must not silently render through trilinear skip tables."""
+    from vpt_tpu.volume import Volume
+
+    tf = _zero_floor_tf()
+    vol = Volume(_sparse_ball(16), "nearest")
+    sc = make_scene(vol, tf, tracking="auto")
+    assert sc.tracking_packed is None          # auto declines silently
+    with pytest.warns(UserWarning, match="linear filter"):
+        sc = make_scene(vol, tf, tracking="cheb")
+    assert sc.tracking_packed is None
+
+
+def test_auto_policy_declines_before_distance_transform(monkeypatch):
+    """The auto policy's empty-fraction decline must happen BEFORE the
+    cap-iteration Chebyshev transform (scene rebuilds on dense volumes
+    would otherwise pay it for nothing)."""
+    called = []
+    real = skipgrid.chebyshev_distance
+
+    def spy(occ, cap=skipgrid.CHEB_CAP):
+        called.append(True)
+        return real(occ, cap)
+
+    monkeypatch.setattr(skipgrid, "chebyshev_distance", spy)
+    opaque_tf = np.zeros((2, 256, 4), np.float32)
+    opaque_tf[..., 3] = 0.3
+    sc = make_scene(volume.sphere_volume(16), jnp.asarray(opaque_tf),
+                    tracking="auto")
+    assert sc.tracking_packed is None
+    assert not called                          # declined without the DT
+    sc = make_scene(_sparse_ball(16), _zero_floor_tf(), tracking="auto")
+    assert sc.tracking_packed is not None and called

@@ -342,10 +342,16 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                 "divisible by the grid size) — falling back to the exact "
                 "machine", stacklevel=2)
     tracking_packed = None
-    if tracking in ("cheb", "auto") and majorant is None:
+    if tracking in ("cheb", "auto") and majorant is None \
+            and vol_filter == "linear":
         from .. import skipgrid
 
-        tracking_packed = skipgrid.pack_tracking_volume(volume, transfer)
+        # the auto policy's empty-fraction decline happens inside the
+        # pack, BEFORE the (cap-iteration) distance transform runs
+        tracking_packed = skipgrid.pack_tracking_volume(
+            volume, transfer,
+            min_empty_fraction=(AUTO_TRACKING_MIN_EMPTY
+                                if tracking == "auto" else 0.0))
         if tracking_packed is None and tracking == "cheb":
             import warnings
 
@@ -354,12 +360,16 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                 "unsupported for this volume (multi-channel, or negative "
                 "values) — falling back to the exact machine",
                 stacklevel=2)
-        if tracking_packed is not None and tracking == "auto" \
-                and skipgrid.empty_fraction(tracking_packed) \
-                < AUTO_TRACKING_MIN_EMPTY:
-            tracking_packed = None     # policy: too dense to pay off
         if tracking_packed is not None and pack_dtype is not None:
             tracking_packed = tracking_packed.astype(pack_dtype)
+    elif tracking == "cheb" and vol_filter != "linear":
+        import warnings
+
+        warnings.warn(
+            "tracking='cheb' requested but the tracking table implements "
+            "the linear filter only (volume filter is "
+            f"{vol_filter!r}) — falling back to the exact machine",
+            stacklevel=2)
     return Scene(
         volume=volume,
         transfer=transfer,

@@ -61,7 +61,10 @@ def reset(params: Params, height: int, width: int, scene=None):
 
 
 def generate(scene: Scene, params: Params, seed, height: int, width: int):
-    if params.baked_gradient and scene.volume.shape[-1] < 2:
+    shape = getattr(scene, "volume_shape", None)
+    if shape is None:
+        shape = scene.volume.shape
+    if params.baked_gradient and shape[-1] < 2:
         raise ValueError(
             "baked_gradient needs a 2-channel (value, |grad|) volume — "
             "bake one with volume.with_lao_gradient")

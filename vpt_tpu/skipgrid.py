@@ -186,12 +186,15 @@ def chebyshev_distance(occupied, cap: int = CHEB_CAP):
     return _cheb_loop(int(cap))(occupied, dist)
 
 
-def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP):
+def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP,
+                         min_empty_fraction: float = 0.0):
     """(D, H, W, 1) volume + (TH, TW, 4) transfer → corner-packed tracking
     table (D·H·W, 8): occupied cells hold their true corner values, empty
     cells hold -chebdist in every lane.  None when unsupported (multi-
     channel volumes, or volumes with negative values — the sign bit is the
-    empty-cell flag)."""
+    empty-cell flag) or when fewer than ``min_empty_fraction`` of the
+    cells are TF-empty (the auto policy's decline, checked BEFORE the
+    Chebyshev distance transform so declined builds stay cheap)."""
     from . import sampling
 
     d, h, w, c = volume.shape
@@ -201,6 +204,8 @@ def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP):
         return None
     packed = sampling.pack_corner_volume(volume)          # (D·H·W, 8)
     empty = cell_empty_mask(packed, transfer)             # (R,)
+    if min_empty_fraction > 0.0 and             float(jnp.mean(empty.astype(jnp.float32))) < min_empty_fraction:
+        return None
     occupied = (~empty).reshape(d, h, w)
     cheb = chebyshev_distance(occupied, cap=cap).reshape(-1)
     rows = jnp.where(empty[:, None],
