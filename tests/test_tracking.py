@@ -329,3 +329,29 @@ def test_auto_policy_declines_before_distance_transform(monkeypatch):
     assert not called                          # declined without the DT
     sc = make_scene(_sparse_ball(16), _zero_floor_tf(), tracking="auto")
     assert sc.tracking_packed is not None and called
+
+
+def test_bench_check_flags_regressions(monkeypatch, capsys):
+    """The --check gate must pass values inside the variance band and
+    fail (non-zero exit) on drops below baseline*(1-band) — exercised
+    with a stubbed measurement so no TPU run is needed."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    def fake_run(name, scale=1.0):
+        base = __import__("json").load(
+            open(bench.BASELINE_TABLE))["configs"][name]
+        return {"config": name,
+                "events_per_s": base["events_per_s"] * scale,
+                "paths_per_s": base["paths_per_s"] * scale,
+                "mean_path_events": 1.4}
+
+    monkeypatch.setattr(bench, "run_config", lambda n: fake_run(n, 0.9))
+    assert bench.check_mode() == 0          # -10%: inside the 15% band
+    monkeypatch.setattr(bench, "run_config", lambda n: fake_run(n, 0.8))
+    assert bench.check_mode() == 1          # -20%: regression
+    assert "REGRESSION" in capsys.readouterr().err
