@@ -47,10 +47,11 @@ BASELINE_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "bench_baseline.json")
 
 
-def probe_backend(retries: int = 3, delay_s: float = 20.0) -> None:
+def probe_backend(retries: int = 6, delay_s: float = 30.0) -> None:
     """Tiny matmul with bounded retry: the tunneled TPU backend sometimes
-    stalls for long stretches — probe before timing so a hung tunnel fails
-    fast (and loudly) instead of polluting the measurement."""
+    stalls for stretches of many minutes (observed up to ~25 min in r3) —
+    probe before timing so a hung tunnel fails loudly instead of polluting
+    the measurement, with enough patience to ride out short sulks."""
     import numpy as np
 
     for attempt in range(retries):
