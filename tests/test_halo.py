@@ -161,11 +161,12 @@ def test_halo_mcm_tracking_matches_replicated(tf_mxu):
     for key in ref:
         a, b = np.asarray(ref[key]), np.asarray(out[key])
         if key == "position":
-            # the hop distance comes through the ownership-mask psum,
-            # whose reassociation can move the committed position by
-            # exactly 1 ulp (the documented shard_map caveat; every
-            # discrete field below is bitwise identical, i.e. no branch
-            # flipped)
+            # 1-ulp committed-position drift: measured to appear already at
+            # the FIRST event with cheb == 0 everywhere (no hop taken), i.e.
+            # it is the shard_map partitioner's codegen of the flight/reset
+            # FMA — the same caveat as the non-tracking test above, NOT the
+            # hop math (cheb itself, recovered via jnp.round, is asserted
+            # bitwise below, so hop distances are identical)
             np.testing.assert_allclose(a, b, rtol=0, atol=2e-7)
         else:
             assert np.array_equal(a, b), key

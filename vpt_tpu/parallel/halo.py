@@ -165,7 +165,10 @@ class HaloScene:
         v = self._trilinear_packed(self.tracking_packed, 1, zloc, y0, x0,
                                    fx, fy, fz, local)[..., 0]
         empty = v < -0.5
-        cheb = jnp.maximum(-v, 0.0)
+        # round to the exact stored integer distance, mirroring
+        # Scene.sample_color_tracking: ulp-exactness of the recovered cheb
+        # is what keeps the sharded hop identical to the replicated one
+        cheb = jnp.round(jnp.maximum(-v, 0.0))
         value = jnp.maximum(v, 0.0)
         vs = self._tf_color_1d(value)
         vs = jnp.concatenate(

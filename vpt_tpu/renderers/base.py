@@ -182,10 +182,15 @@ class Scene:
         v = sampling.sample_volume_packed(
             self.tracking_packed, self.volume.shape[:3] + (1,),
             position)[..., 0]
-        # empty rows hold a constant -chebdist in all 8 lanes, which
-        # trilinear interpolation reproduces exactly
+        # empty rows hold a constant -chebdist in all 8 lanes; the 3-level
+        # lerp of a constant row is exact in exact arithmetic but may be off
+        # by a few ulps in float32 (1-f is inexact), and an ulp-high cheb
+        # would let the hop overshoot the provably-empty L∞ ball.  Stored
+        # distances are exact integers (≤ CHEB_CAP, exact even in bf16), so
+        # rounding recovers them exactly — making the hop both safe and
+        # identical between this sampler and the psum-assembled halo twin.
         empty = v < -0.5
-        cheb = jnp.maximum(-v, 0.0)
+        cheb = jnp.round(jnp.maximum(-v, 0.0))
         value = jnp.maximum(v, 0.0)
         if self.transfer_mxu is not None:
             vs = sampling.sample_transfer_1d_mxu(self.transfer_mxu, value)

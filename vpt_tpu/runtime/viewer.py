@@ -620,12 +620,30 @@ class ViewerServer:
         from ..renderers import factory
         from ..tonemap import TONE_MAPPERS
 
+        # tracking telemetry: which empty-space machine the policy actually
+        # engaged for this scene, and how empty the scene measured
+        tracking = {"mode": self.ctx.tracking, "engaged": "none"}
+        try:
+            scene = self.ctx.get_scene()
+        except RuntimeError:
+            scene = None
+        if scene is not None and scene.tracking_packed is not None:
+            from .. import skipgrid
+
+            tracking = {"mode": self.ctx.tracking, "engaged": "cheb",
+                        "empty_fraction": round(
+                            skipgrid.empty_fraction(scene.tracking_packed),
+                            4)}
+        elif scene is not None and scene.majorant is not None:
+            tracking = {"mode": self.ctx.tracking, "engaged": "grid"}
+
         return json.dumps({
             "renderers": sorted(factory.MODULES),
             "tonemappers": sorted(TONE_MAPPERS),
             "renderer": self.ctx.renderer_key or "mcm",
             "tonemap": self.ctx.tone_mapper.name,
             "resolution": self.ctx.resolution,
+            "tracking": tracking,
             "schema": self._param_schema(),
         }).encode()
 

@@ -214,7 +214,10 @@ def pack_tracking_volume(volume, transfer, cap: int = CHEB_CAP,
 
 
 def empty_fraction(tracking_packed) -> float:
-    """Fraction of cells marked empty in a tracking table (policy input)."""
+    """Fraction of cells marked empty in a built tracking table — telemetry
+    for the viewer ``/info`` endpoint (the auto policy's own decline check
+    runs inside :func:`pack_tracking_volume` on the pre-transform mask,
+    before any table exists)."""
     return float(jnp.mean((tracking_packed[:, 0] < -0.5).astype(jnp.float32)))
 
 
