@@ -134,12 +134,27 @@ def sparse_scene():
                       tracking="auto")
 
 
+def dense256_scene():
+    """The milestone scale (BASELINE.json configs 2-4 name 256³+): the
+    headline sphere at 256³, reference TF semantics + the auto tracking
+    policy — regression-gated so the 256³ rates live in every BENCH_rN,
+    not only in notes (VERDICT r3 #4)."""
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.renderers import make_scene
+
+    return make_scene(volume.sphere_volume(256),
+                      transfer.gray_ramp(alpha_scale=0.8),
+                      pack_dtype=jnp.bfloat16, tf_mxu=True,
+                      tf_srgb=True, tracking="auto")
+
+
 #: config name -> (scene builder, steps, frames, extinction)
 CONFIGS = {
     "headline-srgb-auto/steps32": (headline_scene, 32, 15, 40.0),
     "headline-srgb-auto/steps8": (headline_scene, 8, 30, 40.0),
     "legacy-float/steps32": (legacy_scene, 32, 15, 40.0),
     "sparse256-auto/steps32": (sparse_scene, 32, 10, 100.0),
+    "dense256-srgb-auto/steps32": (dense256_scene, 32, 10, 40.0),
 }
 
 
@@ -149,6 +164,48 @@ def run_config(name: str) -> dict:
                          extinction=ext)
     return {"config": name, "events_per_s": round(ev), "paths_per_s":
             round(pa), "mean_path_events": round(ev / max(pa, 1.0), 3)}
+
+
+def _forward_roofline_fields(events_per_s: float, config) -> dict:
+    """Forward roofline for the headline config (benchmarks/roofline.py):
+    measured HBM stream + MXU + gather-engine ceilings, the event traffic
+    model, and the achieved fractions."""
+    from benchmarks import roofline
+    from vpt_tpu.renderers import mcm
+
+    builder, steps, _, ext = config
+    scene = builder()
+    params = mcm.Params(extinction=ext, anisotropy=0.3, steps=steps)
+    state = mcm.reset(params, 512, 512, scene)
+    hbm = roofline.measure_hbm_gbps()
+    mxu = roofline.measure_matmul_tflops()
+    table = (scene.tracking_packed if scene.tracking_packed is not None
+             else scene.volume_packed)
+    g_ns = roofline.measure_gather_ns(int(table.shape[0]),
+                                      lanes=int(table.shape[-1]))
+    return roofline.forward_roofline(events_per_s, state, scene,
+                                     hbm, mxu, g_ns)
+
+
+def _backward_roofline_fields() -> dict:
+    """Backward roofline at the headline's 128³ scale: measured grad
+    events/s through the folded differentiable estimator vs the
+    gather+scatter op bound and the HBM stream bound."""
+    from benchmarks import backward as bwd_mod
+    from benchmarks import roofline
+    from vpt_tpu import sampling
+
+    vol_n = 128
+    fold = sampling.scatter_fold_log2(vol_n ** 3, 8, vol_n)
+    rows, lanes = (vol_n ** 3) >> fold, 8 << fold
+    row = bwd_mod.bench(512, vol_n, 8, 2, "folded", iters=3)
+    hbm = roofline.measure_hbm_gbps()
+    g_ns = roofline.measure_gather_ns(rows, lanes=lanes)
+    s_ns = roofline.measure_scatter_ns(rows, lanes=lanes)
+    out = roofline.backward_roofline(row["value"], rows, lanes, hbm,
+                                     g_ns, s_ns)
+    out["config"] = row["config"]
+    return out
 
 
 def check_mode() -> int:
@@ -209,7 +266,7 @@ def main():
     best_steps = max(rates, key=lambda s: rates[s][0])
     events_per_s, paths_per_s = rates[best_steps]
     baseline_per_chip = 1e9 / 8.0  # north-star aggregate / v5p-16 chips
-    print(json.dumps({
+    headline = {
         "metric": "mcm_events_per_s",
         "value": round(events_per_s),
         "unit": "events/s",
@@ -217,10 +274,26 @@ def main():
         "paths_per_s": round(paths_per_s),
         "paths_vs_baseline": round(paths_per_s / baseline_per_chip, 4),
         "mean_path_events": round(events_per_s / max(paths_per_s, 1.0), 3),
-    }), flush=True)
+    }
+
+    # roofline fields (VERDICT r3 #2): the headline rate as a fraction of
+    # the MEASURED chip ceilings — the gather-engine bound (the binding
+    # resource) and the HBM stream bound — plus the backward pass at the
+    # same scale.  Failures here must not void the headline metric.
+    try:
+        headline["roofline"] = _forward_roofline_fields(
+            events_per_s, CONFIGS["headline-srgb-auto/steps32"])
+    except Exception as exc:  # noqa: BLE001
+        print(f"# roofline (forward) failed: {exc}", file=sys.stderr)
+    try:
+        headline["roofline_bwd"] = _backward_roofline_fields()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# roofline (backward) failed: {exc}", file=sys.stderr)
+    print(json.dumps(headline), flush=True)
 
     # secondary configs (stderr; failures here must not void the headline)
-    for name in ("legacy-float/steps32", "sparse256-auto/steps32"):
+    for name in ("legacy-float/steps32", "sparse256-auto/steps32",
+                  "dense256-srgb-auto/steps32"):
         try:
             print("# " + json.dumps(run_config(name)), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
