@@ -85,12 +85,18 @@ def measure_matmul_tflops(n: int = 4096, iters: int = 8) -> float:
 
 
 def measure_gather_ns(rows: int, lanes: int = 8, dtype="bfloat16",
-                      n: int = 512 * 512, inner: int = 8,
+                      n: int = 512 * 512 * 8, inner: int = 8,
                       iters: int = 10) -> float:
     """In-loop per-row gather cost on a (rows, lanes) table — the exact
     shape class the event loop gathers from.  fori_loop body = one gather
     + an index rotation (defeats hoisting), matching the event machine's
-    one-gather-per-event structure (benchmarks/gather_layout.py)."""
+    one-gather-per-event structure (benchmarks/gather_layout.py).
+
+    ``n`` defaults to 2M indices: the gather ENGINE floor needs large
+    batches (measured on this chip: 2^21-row table costs 12.3 ns/row at
+    262k indices but 4.3 ns at 2M) — the fused event loops approach the
+    large-batch floor through loop pipelining even though each event's
+    batch is 262k, so the floor is the honest speed-of-light."""
     import jax
     import jax.numpy as jnp
 
