@@ -372,12 +372,16 @@ def cmd_info(args):
                   f"x{dims['depth']}  format={m['format']} type={m['type']}")
         return
 
-    print("renderers:")
+    print("renderers (cost = measured ms/frame at 512^2 defaults, v5e; "
+          "see BENCH_NOTES.md):")
     for key, module in sorted(factory.MODULES.items()):
         fields = ", ".join(
             f"{f.name}={f.default}" for f in
             dataclasses.fields(module.Params))
-        print(f"  {key:6s} {fields}")
+        cost = factory.FRAME_COST_MS_512.get(key)
+        tag = (f"~{cost / 1000:.1f} s " if cost and cost >= 1000
+               else f"~{cost:3d} ms" if cost else "   ?   ")
+        print(f"  {key:6s} [{tag}] {fields}")
     print("tone mappers:", ", ".join(sorted(TONE_MAPPERS)))
 
 

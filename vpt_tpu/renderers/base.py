@@ -84,6 +84,7 @@ class Scene:
     transfer_mxu: Any = None          # (TW, 4) MXU one-hot lookup table
     majorant: Any = None              # (N, N, N, 2) [maxalpha, chebdist]
     tracking_packed: Any = None       # (D·H·W, 8) cheb-skip corner table
+    occupied_aabb: Any = None         # (2, 3) [lo, hi] march clamp box
     filter: str = "linear"            # volume filter (static)
     #: serve volume gathers at this fold when volume_packed is stored at a
     #: larger one (two-level fold, sampling.take_rows_twolevel): fast
@@ -95,7 +96,7 @@ class Scene:
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
                 self.transfer_banks, self.transfer_mxu,
-                self.majorant, self.tracking_packed), \
+                self.majorant, self.tracking_packed, self.occupied_aabb), \
             (self.filter, self.gather_fold_log2)
 
     @classmethod
@@ -239,7 +240,8 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                tf_banks: bool = False, tf_mxu: bool = False,
                tf_srgb: bool = False,
                majorant_grid: Optional[int] = None,
-               tracking: str = "none") -> Scene:
+               tracking: str = "none",
+               march_clamp: bool = False) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -285,7 +287,16 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     wins only when the occupied region itself needs sub-global majorants).
     ``"auto"`` = per-scene policy: engage cheb-skip when >5% of cells are
     TF-empty (the skip is free in occupied cells, so empty fraction is the
-    whole decision), else the exact global machine."""
+    whole decision), else the exact global machine.
+    ``march_clamp``: opt-in empty-space acceleration for the MARCH
+    renderers (EAM/MIP/Depth): clamp each ray's marched segment to the
+    occupied AABB (skipgrid.occupied_aabb — cells outside it are provably
+    TF-invisible), concentrating the same slice count on the visible
+    support.  Changes sample placement (a quadrature refinement of the
+    same integral), so it is opt-in and validated against the exact
+    oracle like ``pack_dtype`` (tests/test_march_clamp.py); a scene with
+    no TF-empty cells keeps occupied_aabb None and the exact path
+    bitwise untouched."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -375,6 +386,19 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
             "the linear filter only (volume filter is "
             f"{vol_filter!r}) — falling back to the exact machine",
             stacklevel=2)
+    aabb = None
+    if march_clamp:
+        from .. import skipgrid
+
+        if volume.shape[-1] != 1 or vol_filter != "linear":
+            import warnings
+
+            warnings.warn(
+                "march_clamp requested but the occupied-AABB derivation "
+                "supports single-channel linear-filter volumes only — "
+                "marching the full segment", stacklevel=2)
+        else:
+            aabb = skipgrid.occupied_aabb(volume, transfer)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -388,8 +412,29 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         transfer_mxu=transfer_mxu,
         majorant=majorant,
         tracking_packed=tracking_packed,
+        occupied_aabb=aabb,
         filter=vol_filter,
     )
+
+
+def march_interval(scene, ray_from, direction):
+    """The ray segment a march renderer samples: the unit-cube slab test,
+    optionally clamped to the scene's occupied AABB (``march_clamp`` —
+    samples outside the box are provably TF-invisible, so the clamp
+    re-concentrates the slice budget on the visible support).  Returns
+    (..., 2) = (tnear, tfar), both ≥ 0; tnear ≥ tfar means miss."""
+    from .. import sampling
+
+    tb = jnp.maximum(sampling.intersect_cube(ray_from, direction), 0.0)
+    aabb = getattr(scene, "occupied_aabb", None)
+    if aabb is None:
+        return tb
+    tbb = jnp.maximum(
+        sampling.intersect_box(ray_from, direction, aabb[0], aabb[1]), 0.0)
+    # intersect the two intervals (the box may poke out of the cube by
+    # the CLAMP_TO_EDGE half-texel; the cube bounds stay authoritative)
+    return jnp.stack([jnp.maximum(tb[..., 0], tbb[..., 0]),
+                      jnp.minimum(tb[..., 1], tbb[..., 1])], axis=-1)
 
 
 class Renderer:

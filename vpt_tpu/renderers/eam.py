@@ -19,7 +19,7 @@ from jax import lax
 
 from .. import rng, sampling
 from . import _march
-from .base import Scene, params_dataclass, static_field
+from .base import Scene, march_interval, params_dataclass, static_field
 
 
 @params_dataclass
@@ -40,7 +40,8 @@ def generate(scene: Scene, params: Params, seed, height: int, width: int):
     ndc = sampling.pixel_ndc(height, width)
     ray_from, ray_to = sampling.unproject(ndc, scene.mvp_inverse)
     direction = ray_to - ray_from
-    tb = jnp.maximum(sampling.intersect_cube(ray_from, direction), 0.0)
+    # occupied-interval clamp when the scene opts in (march_clamp)
+    tb = march_interval(scene, ray_from, direction)
     miss = tb[..., 0] >= tb[..., 1]
 
     start = ray_from + tb[..., 0:1] * direction

@@ -15,6 +15,18 @@ MODULES = {
     "depth": depth,
 }
 
+#: Measured ms per progressive frame at 512² with default params on the
+#: v5e-lite tunnel chip (BENCH_NOTES.md "Per-renderer frame times") —
+#: interactivity honesty for the viewer/CLI: MCM is comfortably inside
+#: the reference's ~16 ms rAF budget, DOS sweeps 10 slices/frame at
+#: ~94 ms, and LAO's ~28 pixel-dependent taps × 64 slices are
+#: gather-row-bound at ~2.1 s (floor-proven twice; a structural TPU/GPU
+#: texture-cache difference, not an implementation gap).
+FRAME_COST_MS_512 = {
+    "mcm": 13, "mcs": 33, "iso": 85, "dos": 94, "mip": 97, "eam": 97,
+    "depth": 97, "lao": 2090,
+}
+
 
 def get_module(key: str):
     if key not in MODULES:

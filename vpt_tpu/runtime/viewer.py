@@ -49,6 +49,7 @@ select,input { width:100%; margin:2px 0 10px; background:#222; color:#ddd;
 <div id="view"><img id="canvas" width="512" height="512"></div>
 <div id="panel">
   <label>Renderer</label><select id="renderer"></select>
+  <div id="rcost" style="color:#886; margin:-6px 0 8px"></div>
   <div id="rparams"></div>
   <label>Tone mapper</label><select id="tonemap"></select>
   <div id="tmparams"></div>
@@ -313,6 +314,19 @@ for (const id of ['tfcolor', 'tfalpha'])
     pushTF();
   });
 
+function showCost() {
+  // interactivity honesty: measured ms/frame at 512^2 defaults (served
+  // by /info from the committed BENCH_NOTES numbers) — warn before the
+  // user picks a renderer that is seconds per progressive sample
+  const costs = (window.frameCosts || {});
+  const key = document.getElementById('renderer').value;
+  const el = document.getElementById('rcost');
+  const ms = costs[key];
+  if (!ms) { el.textContent = ''; return; }
+  el.textContent = ms >= 1000 ? `~${(ms / 1000).toFixed(1)} s/frame @512²`
+                              : `~${ms} ms/frame @512²`;
+  el.style.color = ms > 100 ? '#b84' : '#686';
+}
 async function init() {
   const info = await (await fetch('info')).json();
   for (const [id, list, def] of [["renderer", info.renderers, info.renderer],
@@ -325,6 +339,9 @@ async function init() {
       sel.appendChild(o);
     }
   }
+  window.frameCosts = info.frame_cost_ms_512 || {};
+  showCost();
+  document.getElementById('renderer').addEventListener('change', showCost);
   const rsel = document.getElementById('resolution');
   if (![...rsel.options].some(o => o.value == info.resolution)) {
     const o = document.createElement('option');
@@ -644,6 +661,7 @@ class ViewerServer:
             "tonemap": self.ctx.tone_mapper.name,
             "resolution": self.ctx.resolution,
             "tracking": tracking,
+            "frame_cost_ms_512": factory.FRAME_COST_MS_512,
             "schema": self._param_schema(),
         }).encode()
 

@@ -47,6 +47,19 @@ def intersect_cube(origin, direction):
     return jnp.stack([tnear, tfar], axis=-1)
 
 
+def intersect_box(origin, direction, lo, hi):
+    """Slab-test ray/AABB intersection → (..., 2) = (tnear, tfar);
+    ``lo``/``hi`` are (3,) box corners in the same space as ``origin``
+    (the occupied-interval march clamp, skipgrid.occupied_aabb)."""
+    tmin = (lo - origin) / direction
+    tmax = (hi - origin) / direction
+    t1 = jnp.minimum(tmin, tmax)
+    t2 = jnp.maximum(tmin, tmax)
+    tnear = jnp.max(t1, axis=-1)
+    tfar = jnp.min(t2, axis=-1)
+    return jnp.stack([tnear, tfar], axis=-1)
+
+
 from .math3d import apply_mat4  # exact elementwise mat4 apply (no MXU)
 
 
