@@ -164,8 +164,36 @@ def main():
                          "per voxel")
     ap.add_argument("--steps", type=int, default=None,
                     help="override the final stage's step count")
+    ap.add_argument("--final-lr", type=float, default=None,
+                    help="override the final stage's Adam lr0")
     ap.add_argument("--tv", type=float, default=0.0,
-                    help="total-variation prior weight (optional)")
+                    help="total-variation prior weight (optional; alias "
+                         "for --prior tv --prior-w W)")
+    ap.add_argument("--prior", default="none", choices=("none", "tv",
+                                                        "curv"),
+                    help="conditioning prior for the occluded-core null "
+                         "space (VERDICT r3 #1): 'tv' = squared forward "
+                         "differences (H1 smoothness), 'curv' = squared "
+                         "gradient-of-Laplacian (zero on quadratic caps — "
+                         "extrapolates the recovered shell into cores "
+                         "without pressuring flat empty space)")
+    ap.add_argument("--prior-w", type=float, default=0.0,
+                    help="prior weight (on the stage mean penalty)")
+    ap.add_argument("--prior-from", type=int, default=256,
+                    help="apply the prior at stages with grid >= this "
+                         "(default: native resolution only, where the "
+                         "core null space lives)")
+    ap.add_argument("--cache", default="examples/config3_cache.npz",
+                    help="cache file for the rendered targets AND the "
+                         "pre-final-stage fit (they are identical across "
+                         "prior settings when --prior-from is the native "
+                         "grid, so prior sweeps only pay the final stage); "
+                         "'' disables")
+    ap.add_argument("--fused-vjp", action="store_true", default=True)
+    ap.add_argument("--no-fused-vjp", dest="fused_vjp",
+                    action="store_false",
+                    help="disable the fused select+lerp cotangent "
+                         "(sampling._select_trilerp; values identical)")
     ap.add_argument("--exts", default="25,5",
                     help="comma-separated target extinctions; the first "
                          "is primary (gallery/params), later ones are the "
@@ -186,6 +214,9 @@ def main():
     from vpt_tpu.io.image import write_png
     from vpt_tpu.renderers import diff_mc, make_scene
     from vpt_tpu.renderers import mcm as mcm_mod
+
+    if args.tv > 0.0 and args.prior == "none":
+        args.prior, args.prior_w = "tv", args.tv
 
     n = 64 if args.quick else 256
     res = 64 if args.quick else 256
@@ -217,14 +248,31 @@ def main():
     cams = orbit_cameras(np.arange(n_views) * (360.0 / n_views), pitches)
 
     print(f"config 3: {n}^3 volume, {res}^2 images, {n_views} views, "
-          f"extinctions {exts}, >= {min_spp} spp targets, stages {stages}")
+          f"extinctions {exts}, >= {min_spp} spp targets, stages {stages}, "
+          f"prior {args.prior}/{args.prior_w:g} from {args.prior_from}^3")
     t_all = time.perf_counter()
+
+    # -- target / pre-final-stage cache (prior sweeps re-run only the
+    # stage(s) the prior actually changes) --------------------------------
+    cache_key = (f"n{n}res{res}spp{min_spp}v{n_views}exts{args.exts}"
+                 f"stages{stages[:-1]}lr{args.lr}")
+    cache = {}
+    if args.cache and pathlib.Path(args.cache).exists():
+        with np.load(args.cache, allow_pickle=False) as z:
+            if str(z["key"]) == cache_key:
+                cache = {k: z[k] for k in z.files if k != "key"}
+                print(f"  cache hit: {args.cache} ({len(cache)} arrays)")
+            else:
+                print(f"  cache key mismatch — re-rendering ({args.cache})")
+
     tsets = {}
     for ext in exts:
         p_ext = dataclasses.replace(_base_params(), extinction=ext)
-        tsets[ext] = [render_target(truth, tf, cam, p_ext, res, min_spp,
-                                    f"target e{ext:g} v{i}")
-                      for i, cam in enumerate(cams)]
+        tsets[ext] = [
+            cache[f"t_e{ext:g}_v{i}"] if f"t_e{ext:g}_v{i}" in cache
+            else render_target(truth, tf, cam, p_ext, res, min_spp,
+                               f"target e{ext:g} v{i}")
+            for i, cam in enumerate(cams)]
     params = dataclasses.replace(_base_params(), extinction=exts[0])
     targets = tsets[exts[0]]
 
@@ -235,12 +283,15 @@ def main():
     tstack = {ext: jnp.stack([jnp.asarray(t) for t in tsets[ext]])
               for ext in exts}
 
-    def loss_fn(voxels, scene_tmpl, tgts, seed0, grad_frames, use_exts):
+    def loss_fn(voxels, scene_tmpl, tgts, seed0, grad_frames, use_exts,
+                prior_w):
         # one view per step (stochastic multi-view SGD): camera matrices
         # are traced scene leaves, so all views share one compiled graph;
         # extinction is traced too, so every (view, extinction) pair does.
         # The fold keeps the backward scatter below the row-count cliff
-        # (+37% grad throughput at 256^3, sampling.py's fold note).
+        # (+37% grad throughput at 256^3, sampling.py's fold note); the
+        # fused select+lerp cotangent (sampling._select_trilerp) cuts the
+        # backward's transpose cost on top (values bit-identical).
         fold = sampling.scatter_fold_log2(
             voxels.shape[0] * voxels.shape[1] * voxels.shape[2],
             8 * voxels.shape[3], voxels.shape[2])
@@ -248,7 +299,8 @@ def main():
         sc = dataclasses.replace(
             scene_tmpl, volume=voxels, volume_packed=packed,
             transfer_packed=sampling.pack_corner_texture2d(
-                scene_tmpl.transfer))
+                scene_tmpl.transfer),
+            fused_vjp=args.fused_vjp)
         loss = 0.0
         for ext, tgt in zip(use_exts, tgts):
             p_ext = dataclasses.replace(params, extinction=ext)
@@ -258,27 +310,86 @@ def main():
                                            grad_frames,
                                            seed0=seed0 + ext + 131.9)
             loss = loss + jnp.mean((a - tgt) * (b - tgt))
-        if args.tv > 0.0:
+        if prior_w > 0.0:
             v = voxels[..., 0]
-            tv = sum(jnp.mean((jnp.roll(v, -1, a_) - v) ** 2)
-                     for a_ in range(3))
-            loss = loss + args.tv * tv
+            if args.prior == "tv":
+                # H1 smoothness: squared forward differences
+                pen = sum(jnp.mean((jnp.roll(v, -1, a_) - v) ** 2)
+                          for a_ in range(3))
+            else:
+                # 'curv': squared gradient-of-Laplacian — zero on any
+                # quadratic field, so it extrapolates the data-constrained
+                # shell into the occluded cores (a paraboloid cap) while
+                # exactly ignoring flat empty space (all derivatives 0)
+                lap = sum(jnp.roll(v, -1, a_) + jnp.roll(v, 1, a_)
+                          - 2.0 * v for a_ in range(3))
+                pen = sum(jnp.mean((jnp.roll(lap, -1, a_) - lap) ** 2)
+                          for a_ in range(3))
+            loss = loss + prior_w * pen
         return loss
+
+    def bucket_table(fit_vol, label):
+        """Voxel MSE by truth-density bucket (the r3 null-space probe,
+        BENCH_NOTES 'config-3 null space' — now a committed artifact)."""
+        edges = (0.0, 0.05, 0.3, 0.7, 1.0000001)
+        t = np.asarray(truth[..., 0])
+        fv = np.asarray(fit_vol[..., 0])
+        rows = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            m = (t >= lo) & (t < hi)
+            rows.append({"bucket": f"[{lo:g},{min(hi, 1.0):g})",
+                         "frac": round(float(m.mean()), 4),
+                         "mse": (float(np.mean((fv - t)[m] ** 2))
+                                 if m.any() else 0.0)})
+        print(f"  {label} voxel MSE by truth bucket: "
+              + "  ".join(f"{r['bucket']}={r['mse']:.2e}" for r in rows))
+        return rows
+
+    def save_cache(prefit=None):
+        if not args.cache:
+            return
+        data = {"key": cache_key}
+        for ext in exts:
+            for i in range(n_views):
+                data[f"t_e{ext:g}_v{i}"] = np.asarray(tsets[ext][i])
+        if prefit is not None:
+            data["prefit"] = np.asarray(prefit)
+        elif "prefit" in cache:
+            data["prefit"] = cache["prefit"]
+        np.savez(args.cache, **data)
+        print(f"  cache saved: {args.cache}")
+
+    save_cache()
 
     losses = []
     vol_fit = None
+    final_n = stages[-1][0]
+    # the coarse stages are identical across (prior, final-lr, steps)
+    # settings when the prior only acts at the native grid — cache the
+    # pre-final-stage fit so prior sweeps pay the final stage only
+    coarse_cacheable = args.prior_from >= final_n or args.prior_w == 0.0
+    skip_coarse = coarse_cacheable and "prefit" in cache
+    if skip_coarse:
+        vol_fit = jnp.asarray(cache["prefit"])
+        print(f"  prefit cache hit: skipping stages {stages[:-1]}")
     t_fit = time.perf_counter()
     for n_fit, opt_steps, grad_frames, lr0, dual in stages:
+        if skip_coarse and n_fit != final_n:
+            continue
+        if n_fit == final_n and args.final_lr:
+            lr0 = args.final_lr
         vol_fit = resize_volume(init if vol_fit is None else vol_fit,
                                 n_fit)
         vol_fit = jnp.clip(vol_fit, 0.0, 1.0)
         use_exts = exts if (dual and len(exts) > 1) else exts[:1]
+        prior_w = args.prior_w if (args.prior != "none"
+                                   and n_fit >= args.prior_from) else 0.0
         sched = optax.cosine_decay_schedule(lr0, opt_steps, alpha=0.05)
         optimizer = optax.adam(sched)
         opt_state = optimizer.init(vol_fit)
         step_fn = jax.jit(jax.value_and_grad(
-            lambda v_, tm_, tg_, s_, gf=grad_frames, ue=use_exts:
-            loss_fn(v_, tm_, tg_, s_, gf, ue)))
+            lambda v_, tm_, tg_, s_, gf=grad_frames, ue=use_exts,
+            pw=prior_w: loss_fn(v_, tm_, tg_, s_, gf, ue, pw)))
         order = np.random.default_rng(n_fit).permutation
         view_seq = np.concatenate(
             [order(n_views) for _ in range(opt_steps // n_views + 1)])
@@ -300,9 +411,14 @@ def main():
                       flush=True)
         print(f"  [{n_fit}^3] stage done in "
               f"{time.perf_counter() - t_stage:.1f}s")
+        if n_fit != final_n and coarse_cacheable and not skip_coarse \
+                and n_fit == stages[-2][0]:
+            save_cache(prefit=vol_fit)
     fit_dt = time.perf_counter() - t_fit
     vol_fit = resize_volume(vol_fit, n)
     voxel_mse1 = float(jnp.mean((vol_fit - truth) ** 2))
+    bucket_table(init, "init  ")
+    buckets = bucket_table(vol_fit, "fitted")
 
     # gallery: rows = views, cols = target / init render / fitted render
     tm = tonemap.get("aces")
@@ -319,11 +435,14 @@ def main():
     write_png(args.out, np.concatenate(
         [gallery, np.ones(gallery.shape[:2] + (1,), np.float32)], axis=-1))
 
+    prior_tag = (f"+{args.prior}{args.prior_w:g}"
+                 if args.prior != "none" and args.prior_w else "")
     summary = {
         "config": f"mcm/{n}^3/{res}^2/{n_views}views/{min_spp}spp/"
-                  f"c2f/ext{args.exts}{'+tv' if args.tv else ''}",
+                  f"c2f/ext{args.exts}{prior_tag}",
         "image_mse_first": losses[0], "image_mse_last": losses[-1],
         "voxel_mse_init": voxel_mse0, "voxel_mse_fitted": voxel_mse1,
+        "buckets": buckets,
         "fit_seconds": round(fit_dt, 1),
         "seconds_per_step": round(fit_dt / opt_steps, 2),
         "total_seconds": round(time.perf_counter() - t_all, 1),

@@ -90,6 +90,12 @@ class Scene:
     #: larger one (two-level fold, sampling.take_rows_twolevel): fast
     #: narrow gathers forward, cliff-free wide scatters backward.  Static.
     gather_fold_log2: Optional[int] = None
+    #: fused select+lerp cotangent for the packed volume sampler
+    #: (sampling._select_trilerp): one outer-product backward instead of
+    #: separate select/lerp transposes, positions treated as detached — the
+    #: MC grad estimators' contract (diff_mc stop-gradients every position
+    #: input).  Opt-in for fit paths; values are bit-identical.  Static.
+    fused_vjp: bool = False
 
     def tree_flatten(self):
         return (self.volume, self.transfer, self.environment,
@@ -97,11 +103,12 @@ class Scene:
                 self.volume_packed, self.transfer_packed,
                 self.transfer_banks, self.transfer_mxu,
                 self.majorant, self.tracking_packed, self.occupied_aabb), \
-            (self.filter, self.gather_fold_log2)
+            (self.filter, self.gather_fold_log2, self.fused_vjp)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, filter=aux[0], gather_fold_log2=aux[1])
+        return cls(*children, filter=aux[0], gather_fold_log2=aux[1],
+                   fused_vjp=aux[2])
 
     # -- samplers (the GLSL sampleVolumeColor / sampleEnvironmentMap) ------
     def sample_volume_rg(self, position):
@@ -111,7 +118,8 @@ class Scene:
         if self.volume_packed is not None and self.filter == "linear":
             s = sampling.sample_volume_packed(
                 self.volume_packed, self.volume.shape, position,
-                gather_fold_log2=self.gather_fold_log2)
+                gather_fold_log2=self.gather_fold_log2,
+                fused_vjp=self.fused_vjp)
             if s.shape[-1] >= 2:
                 return s[..., :2]
             return jnp.concatenate([s, jnp.zeros_like(s)], axis=-1)
@@ -124,7 +132,8 @@ class Scene:
         if self.volume_packed is not None and self.filter == "linear":
             return sampling.sample_volume_packed(
                 self.volume_packed, self.volume.shape, position,
-                gather_fold_log2=self.gather_fold_log2)[..., 0]
+                gather_fold_log2=self.gather_fold_log2,
+                fused_vjp=self.fused_vjp)[..., 0]
         return sampling.volume_rg(self.volume, position,
                                   self.filter)[..., 0]
 

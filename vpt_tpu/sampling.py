@@ -345,16 +345,12 @@ def _take_twolevel_bwd(fwd_fold_log2, bwd_fold_log2, bwd_rows, bwd_lanes,
 take_rows_twolevel.defvjp(_take_twolevel_fwd, _take_twolevel_bwd)
 
 
-def gather_packed_corners(packed, idx, total_rows: int, c: int,
-                          gather_fold_log2: int | None = None):
-    """Fetch cell ``idx``'s 8 corner values from a (possibly folded) corner
-    table as float32 (..., 8, c).  The fold factor is detected from the
-    static row count: ``total_rows`` is the unfolded cell count.
-
-    ``gather_fold_log2``: serve the gather at a different (smaller) fold
-    than the table's own — the two-level fold (take_rows_twolevel): fast
-    narrow-row gathers in the forward, cliff-free wide-row scatters in the
-    backward.  None = gather at the table's fold (the plain path)."""
+def _take_corner_rows(packed, idx, total_rows: int,
+                      gather_fold_log2: int | None = None):
+    """The row-fetch half of :func:`gather_packed_corners`: validate the
+    table layout and gather the (possibly folded) rows holding cell ``idx``.
+    Returns ``(rows, eff_fold)`` — the un-selected wide rows and the number
+    of cells each one holds."""
     if total_rows % packed.shape[0]:
         raise ValueError(
             f"corner table rows {packed.shape[0]} do not divide the cell "
@@ -377,6 +373,21 @@ def gather_packed_corners(packed, idx, total_rows: int, c: int,
     else:
         rows = jnp.take(packed, idx >> fold_log2, axis=0)
         eff_fold = fold
+    return rows, eff_fold
+
+
+def gather_packed_corners(packed, idx, total_rows: int, c: int,
+                          gather_fold_log2: int | None = None):
+    """Fetch cell ``idx``'s 8 corner values from a (possibly folded) corner
+    table as float32 (..., 8, c).  The fold factor is detected from the
+    static row count: ``total_rows`` is the unfolded cell count.
+
+    ``gather_fold_log2``: serve the gather at a different (smaller) fold
+    than the table's own — the two-level fold (take_rows_twolevel): fast
+    narrow-row gathers in the forward, cliff-free wide-row scatters in the
+    backward.  None = gather at the table's fold (the plain path)."""
+    rows, eff_fold = _take_corner_rows(packed, idx, total_rows,
+                                       gather_fold_log2)
     if eff_fold > 1:
         wide = rows.reshape(rows.shape[:-1] + (eff_fold, 8 * c))
         # exact cell select: one-hot sum on the VPU (picks one term; no
@@ -387,14 +398,97 @@ def gather_packed_corners(packed, idx, total_rows: int, c: int,
     return rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
 
 
+# -- fused select+lerp VJP: emit the folded cotangent row directly ----------
+#
+# Reverse-mode through the plain combine transposes the one-hot cell select
+# and the three lerp levels SEPARATELY, per event, inside the scan: the lerp
+# transpose rebuilds the (..., 8, C) corner cotangent through strided
+# interleaves (the transpose of rows[..., 0::2, :] is an even-lane pad) and
+# the select transpose then re-expands it into the wide folded row.  But the
+# Jacobian of the whole combine w.r.t. the gathered row is just
+# onehot(sub) ⊗ w8(f) — the trilinear corner weights — so the cotangent is
+# ONE fused outer product ct_wide = onehot ⊗ w8 ⊗ ct.  _select_trilerp pins
+# the forward to the bit-identical select+lerp chain and supplies that
+# analytic backward; the gathered row is NOT a residual (the weights need
+# only sub and f), so the per-event residual stream shrinks too.
+#
+# Contract: positions are treated as DETACHED (ct_f = 0, so d/d position
+# through the fetch is dropped).  That is already the MC gradient
+# estimators' semantics — diff_mc stop-gradients every position input (the
+# reset/flight carries), so position tangents are symbolic zeros there —
+# but it makes this an OPT-IN (Scene(fused_vjp=True) / fit paths), not the
+# default: the plain path remains the full-Jacobian oracle.  Contract and
+# grad equality are pinned by tests/test_fused_vjp.py.
+
+
+def _trilerp_chain(rows, f):
+    """The exact 3-level lerp of sample_volume_packed (bit-identical)."""
+    fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
+    # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor
+    cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
+        + rows[..., 1::2, :] * fx[..., None]          # (..., 4, C)
+    cy = cx[..., 0::2, :] * (1 - fy)[..., None] \
+        + cx[..., 1::2, :] * fy[..., None]            # (..., 2, C)
+    return cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _select_trilerp(rows, sub, f, eff_fold: int, c: int):
+    """One-hot cell select (eff_fold > 1) + trilinear lerp over gathered
+    corner rows — value bit-identical to the plain
+    gather_packed_corners-then-lerp path, backward fused (see note above)."""
+    if eff_fold > 1:
+        wide = rows.reshape(rows.shape[:-1] + (eff_fold, 8 * c))
+        onehot = (sub[..., None] == jnp.arange(eff_fold, dtype=jnp.int32))
+        rows = jnp.sum(wide * onehot[..., None].astype(wide.dtype), axis=-2)
+    rows = rows.astype(jnp.float32).reshape(rows.shape[:-1] + (8, c))
+    return _trilerp_chain(rows, f)
+
+
+def _select_trilerp_fwd(rows, sub, f, eff_fold, c):
+    out = _select_trilerp(rows, sub, f, eff_fold, c)
+    # the gathered rows are NOT saved — only a 0-size dtype token
+    return out, (sub, f, jnp.zeros((0,), rows.dtype))
+
+
+def _select_trilerp_bwd(eff_fold, c, res, ct):
+    sub, f, dtype_token = res
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)           # (..., 2)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    # corner order (z, y, x), x minor — matches pack_corner_volume
+    w8 = (wz[..., :, None, None] * wy[..., None, :, None]
+          * wx[..., None, None, :]).reshape(f.shape[:-1] + (8,))
+    ct8 = w8[..., :, None] * ct[..., None, :]          # (..., 8, c)
+    if eff_fold > 1:
+        onehot = (sub[..., None]
+                  == jnp.arange(eff_fold, dtype=jnp.int32)).astype(ct.dtype)
+        ct_rows = (onehot[..., :, None]
+                   * ct8.reshape(ct8.shape[:-2] + (1, 8 * c))).reshape(
+                       sub.shape + (eff_fold * 8 * c,))
+    else:
+        ct_rows = ct8.reshape(sub.shape + (8 * c,))
+    return (ct_rows.astype(dtype_token.dtype),
+            _np.zeros(sub.shape, jax.dtypes.float0),   # int index: no grad
+            jnp.zeros_like(f))                         # detached positions
+
+
+_select_trilerp.defvjp(_select_trilerp_fwd, _select_trilerp_bwd)
+
+
 def sample_volume_packed(packed, shape, position,
-                         gather_fold_log2: int | None = None):
+                         gather_fold_log2: int | None = None,
+                         fused_vjp: bool = False):
     """Trilinear fetch from a corner-packed volume (one gather per sample).
 
     ``packed``: output of :func:`pack_corner_volume` (optionally folded —
     detected from its static row count); ``shape``: (D, H, W, C);
     ``gather_fold_log2``: serve gathers at a smaller fold than the table's
     (the two-level fold — see :func:`gather_packed_corners`).
+    ``fused_vjp``: emit the select+lerp cotangent as one fused outer
+    product and treat positions as detached (see _select_trilerp — the MC
+    grad estimators' contract; value is bit-identical either way).
     Identical results to :func:`sample_volume`."""
     d, h, w, c = shape
     dims = jnp.array([w, h, d], jnp.float32)
@@ -406,15 +500,14 @@ def sample_volume_packed(packed, shape, position,
     i0 = jnp.clip(i0.astype(jnp.int32), 0,
                   jnp.array([w - 1, h - 1, d - 1], jnp.int32))
     idx = (i0[..., 2] * h + i0[..., 1]) * w + i0[..., 0]
+    if fused_vjp:
+        raw, eff_fold = _take_corner_rows(packed, idx, d * h * w,
+                                          gather_fold_log2)
+        sub = idx & (eff_fold - 1)
+        return _select_trilerp(raw, sub, f, eff_fold, c)
     rows = gather_packed_corners(packed, idx, d * h * w, c,
                                  gather_fold_log2=gather_fold_log2)
-    fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
-    # corner order: ((z0,z1) x (y0,y1) x (x0,x1)), x minor
-    cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
-        + rows[..., 1::2, :] * fx[..., None]          # (..., 4, C)
-    cy = cx[..., 0::2, :] * (1 - fy)[..., None] \
-        + cx[..., 1::2, :] * fy[..., None]            # (..., 2, C)
-    return cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
+    return _trilerp_chain(rows, f)
 
 
 # Max rows per MXU one-hot matmul; (rows, TW) weights cap at ~128 MB bf16.
