@@ -169,20 +169,46 @@ def main():
     ap.add_argument("--tv", type=float, default=0.0,
                     help="total-variation prior weight (optional; alias "
                          "for --prior tv --prior-w W)")
-    ap.add_argument("--prior", default="none", choices=("none", "tv",
-                                                        "curv"),
+    ap.add_argument("--prior", default="none",
+                    choices=("none", "tv", "curv", "logcurv"),
                     help="conditioning prior for the occluded-core null "
                          "space (VERDICT r3 #1): 'tv' = squared forward "
                          "differences (H1 smoothness), 'curv' = squared "
                          "gradient-of-Laplacian (zero on quadratic caps — "
                          "extrapolates the recovered shell into cores "
-                         "without pressuring flat empty space)")
+                         "without pressuring flat empty space), "
+                         "'logcurv' = the same penalty on "
+                         "log(max(v, 0.01)) — a Gaussian blob is exactly "
+                         "quadratic in log space, so its occluded core is "
+                         "penalty-free only when filled to the Gaussian "
+                         "continuation of the visible shell")
     ap.add_argument("--prior-w", type=float, default=0.0,
-                    help="prior weight (on the stage mean penalty)")
+                    help="prior weight (on the stage mean penalty, at the "
+                         "native grid; coarser stages are rescaled by "
+                         "--prior-scale-pow)")
     ap.add_argument("--prior-from", type=int, default=256,
                     help="apply the prior at stages with grid >= this "
-                         "(default: native resolution only, where the "
-                         "core null space lives)")
+                         "(default: native resolution only; set 32 for "
+                         "the multiscale variant — coarse stages fill "
+                         "cores a few voxels deep, upsampling carries "
+                         "the fill to the native grid)")
+    ap.add_argument("--prior-scale-pow", type=float, default=6.0,
+                    help="per-stage weight = w * (n/256)^pow: 6 equalizes "
+                         "the curv prior's world-space strength across "
+                         "grids (the discrete grad-of-Laplacian scales as "
+                         "h^3); smaller boosts the coarse stages")
+    ap.add_argument("--param", default="raw", choices=("raw", "pyramid"),
+                    help="final-stage parametrization: 'pyramid' "
+                         "optimizes a Gaussian-pyramid decomposition "
+                         "{32, 64, 128, 256} jointly (VERDICT r3 #1's "
+                         "regularized-parametrization suggestion) — "
+                         "coarse coefficients aggregate image gradients "
+                         "over whole blob neighborhoods, so occluded "
+                         "cores inherit coarse structure instead of "
+                         "sitting in a per-voxel null space")
+    ap.add_argument("--save-fit", default="",
+                    help="save the fitted 256^3 volume (npz) for "
+                         "forensics")
     ap.add_argument("--cache", default="examples/config3_cache.npz",
                     help="cache file for the rendered targets AND the "
                          "pre-final-stage fit (they are identical across "
@@ -320,7 +346,12 @@ def main():
                 # 'curv': squared gradient-of-Laplacian — zero on any
                 # quadratic field, so it extrapolates the data-constrained
                 # shell into the occluded cores (a paraboloid cap) while
-                # exactly ignoring flat empty space (all derivatives 0)
+                # exactly ignoring flat empty space (all derivatives 0).
+                # 'logcurv': same penalty in log space, where a Gaussian
+                # blob is exactly quadratic (clamped at 0.01 so exact
+                # empty space stays penalty-free).
+                if args.prior == "logcurv":
+                    v = jnp.log(jnp.maximum(v, 0.01))
                 lap = sum(jnp.roll(v, -1, a_) + jnp.roll(v, 1, a_)
                           - 2.0 * v for a_ in range(3))
                 pen = sum(jnp.mean((jnp.roll(lap, -1, a_) - lap) ** 2)
@@ -382,14 +413,49 @@ def main():
                                 n_fit)
         vol_fit = jnp.clip(vol_fit, 0.0, 1.0)
         use_exts = exts if (dual and len(exts) > 1) else exts[:1]
-        prior_w = args.prior_w if (args.prior != "none"
-                                   and n_fit >= args.prior_from) else 0.0
+        prior_w = (args.prior_w * (n_fit / final_n) ** args.prior_scale_pow
+                   if (args.prior != "none" and n_fit >= args.prior_from)
+                   else 0.0)
+        pyramid = args.param == "pyramid" and n_fit == final_n
+        if pyramid:
+            # telescoping decomposition of the pre-final fit: the level-l
+            # coefficients are the residual of level l/2's upsampling, so
+            # the composed start point ≈ vol_fit and the coarse levels own
+            # the blob-scale structure the image gradients can see
+            levels = []
+            lv = 32 if final_n >= 32 else final_n
+            while lv <= final_n:
+                levels.append(lv)
+                lv *= 2
+            downs = {lv: resize_volume(vol_fit, lv) for lv in levels}
+
+            def pyr_compose(cs):
+                return jnp.clip(
+                    sum(resize_volume(c, final_n) for c in cs.values()),
+                    0.0, 1.0)
+
+            theta = {}
+            for i, lv in enumerate(levels):
+                theta[f"l{lv:04d}"] = (
+                    downs[lv] if i == 0
+                    else downs[lv] - resize_volume(downs[levels[i - 1]],
+                                                   lv))
+            vol_fit = pyr_compose(theta)
+            print(f"  [pyramid] levels {levels}, composed-init voxel MSE "
+                  f"{float(jnp.mean((resize_volume(vol_fit, n) - truth) ** 2)):.6f}")
         sched = optax.cosine_decay_schedule(lr0, opt_steps, alpha=0.05)
         optimizer = optax.adam(sched)
-        opt_state = optimizer.init(vol_fit)
-        step_fn = jax.jit(jax.value_and_grad(
-            lambda v_, tm_, tg_, s_, gf=grad_frames, ue=use_exts,
-            pw=prior_w: loss_fn(v_, tm_, tg_, s_, gf, ue, pw)))
+        if pyramid:
+            opt_state = optimizer.init(theta)
+            step_fn = jax.jit(jax.value_and_grad(
+                lambda th_, tm_, tg_, s_, gf=grad_frames, ue=use_exts,
+                pw=prior_w: loss_fn(pyr_compose(th_), tm_, tg_, s_, gf,
+                                    ue, pw)))
+        else:
+            opt_state = optimizer.init(vol_fit)
+            step_fn = jax.jit(jax.value_and_grad(
+                lambda v_, tm_, tg_, s_, gf=grad_frames, ue=use_exts,
+                pw=prior_w: loss_fn(v_, tm_, tg_, s_, gf, ue, pw)))
         order = np.random.default_rng(n_fit).permutation
         view_seq = np.concatenate(
             [order(n_views) for _ in range(opt_steps // n_views + 1)])
@@ -397,12 +463,26 @@ def main():
         for s in range(opt_steps):
             vi = int(view_seq[s])
             tgts = tuple(tstack[ext][vi] for ext in use_exts)
-            loss, g = step_fn(vol_fit, templates[vi], tgts,
+            arg0 = theta if pyramid else vol_fit
+            loss, g = step_fn(arg0, templates[vi], tgts,
                               0.31 * s + 1000.0 * n_fit)
-            updates, opt_state = optimizer.update(g, opt_state, vol_fit)
-            vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates),
-                               0.0, 1.0)
+            updates, opt_state = optimizer.update(g, opt_state, arg0)
+            if pyramid:
+                theta = optax.apply_updates(theta, updates)
+                vol_fit = pyr_compose(theta)
+            else:
+                vol_fit = jnp.clip(optax.apply_updates(vol_fit, updates),
+                                   0.0, 1.0)
             losses.append(float(loss))
+            if s == 0 and not pyramid:
+                # calibration: where does the total gradient actually act?
+                tr = np.asarray(resize_volume(truth, n_fit)[..., 0])
+                gg = np.asarray(g[..., 0])
+                print("    grad RMS " + "  ".join(
+                    f"{tag}={float(np.sqrt(np.mean(gg[(tr >= lo) & (tr < hi)] ** 2))):.2e}"
+                    for lo, hi, tag in ((0.7, 1.01, "core"),
+                                        (0.05, 0.7, "shell"),
+                                        (0.0, 0.05, "empty"))), flush=True)
             if s % 20 == 0 or s == opt_steps - 1:
                 up = resize_volume(vol_fit, n)
                 print(f"  [{n_fit}^3{'x' + str(len(use_exts)) + 'ext' if len(use_exts) > 1 else ''}] "
@@ -419,6 +499,8 @@ def main():
     voxel_mse1 = float(jnp.mean((vol_fit - truth) ** 2))
     bucket_table(init, "init  ")
     buckets = bucket_table(vol_fit, "fitted")
+    if args.save_fit:
+        np.savez(args.save_fit, fit=np.asarray(vol_fit))
 
     # gallery: rows = views, cols = target / init render / fitted render
     tm = tonemap.get("aces")
@@ -437,6 +519,8 @@ def main():
 
     prior_tag = (f"+{args.prior}{args.prior_w:g}"
                  if args.prior != "none" and args.prior_w else "")
+    if args.param != "raw":
+        prior_tag += f"+{args.param}"
     summary = {
         "config": f"mcm/{n}^3/{res}^2/{n_views}views/{min_spp}spp/"
                   f"c2f/ext{args.exts}{prior_tag}",
