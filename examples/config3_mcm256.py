@@ -170,7 +170,8 @@ def main():
                     help="total-variation prior weight (optional; alias "
                          "for --prior tv --prior-w W)")
     ap.add_argument("--prior", default="none",
-                    choices=("none", "tv", "curv", "logcurv"),
+                    choices=("none", "tv", "curv", "logcurv", "lap",
+                             "loglap"),
                     help="conditioning prior for the occluded-core null "
                          "space (VERDICT r3 #1): 'tv' = squared forward "
                          "differences (H1 smoothness), 'curv' = squared "
@@ -181,7 +182,12 @@ def main():
                          "log(max(v, 0.01)) — a Gaussian blob is exactly "
                          "quadratic in log space, so its occluded core is "
                          "penalty-free only when filled to the Gaussian "
-                         "continuation of the visible shell")
+                         "continuation of the visible shell; 'lap' / "
+                         "'loglap' = biharmonic mean(lap^2) (4th order: "
+                         "soft enough for Adam to actually descend — the "
+                         "prior-flow probe measured the 6th-order curv "
+                         "flow checkerboarding while lap fills cores "
+                         "0.153 -> 0.033)")
     ap.add_argument("--prior-w", type=float, default=0.0,
                     help="prior weight (on the stage mean penalty, at the "
                          "native grid; coarser stages are rescaled by "
@@ -350,12 +356,18 @@ def main():
                 # 'logcurv': same penalty in log space, where a Gaussian
                 # blob is exactly quadratic (clamped at 0.01 so exact
                 # empty space stays penalty-free).
-                if args.prior == "logcurv":
+                # 'lap'/'loglap': biharmonic mean(lap^2) — one order
+                # softer, which is what lets Adam's per-voxel normalized
+                # steps actually descend it (benchmarks/prior_flow_probe).
+                if args.prior in ("logcurv", "loglap"):
                     v = jnp.log(jnp.maximum(v, 0.01))
                 lap = sum(jnp.roll(v, -1, a_) + jnp.roll(v, 1, a_)
                           - 2.0 * v for a_ in range(3))
-                pen = sum(jnp.mean((jnp.roll(lap, -1, a_) - lap) ** 2)
-                          for a_ in range(3))
+                if args.prior in ("lap", "loglap"):
+                    pen = jnp.mean(lap ** 2)
+                else:
+                    pen = sum(jnp.mean((jnp.roll(lap, -1, a_) - lap) ** 2)
+                              for a_ in range(3))
             loss = loss + prior_w * pen
         return loss
 
