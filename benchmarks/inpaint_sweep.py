@@ -28,7 +28,23 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fit", required=True)
     ap.add_argument("--extinction", type=float, default=25.0)
-    ap.add_argument("--taus", default="1.5,2,2.5,3,4")
+    ap.add_argument("--taus", default="0.05,0.1,0.15,0.2,0.3,0.5,1",
+                    help="thresholds to sweep; the r4 sweep measured a "
+                         "broad optimum basin at [0.1, 0.2] (see "
+                         "BENCH_NOTES.md) — masks from a fitted volume "
+                         "need tau far below the tau≈1 'optically thick' "
+                         "intuition because underfilled cores "
+                         "under-report their own occlusion")
+    ap.add_argument("--log-only", action="store_true",
+                    help="skip the linear-domain fills (the first sweep "
+                         "measured log-space strictly better at every tau)")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="self-consistent iterations: recompute the "
+                         "visibility mask from the COMPLETED volume and "
+                         "refill (a fitted core is dim, so its own optical "
+                         "depth under-reports occlusion; filling raises "
+                         "the depth, which widens the unseen set toward "
+                         "the mask the true volume would produce)")
     args = ap.parse_args()
 
     import jax
@@ -56,13 +72,16 @@ def main():
         (np.asarray(fit) - truth) ** 2)), **buckets(fit)}]
     print(json.dumps(rows[0]))
     for tau in (float(t) for t in args.taus.split(",")):
-        for log_space in (True, False):
+        for log_space in ((True,) if args.log_only else (True, False)):
             t0 = time.perf_counter()
-            filled, mask = inpaint.complete_occluded(
-                fit, extinction=args.extinction, tau=tau,
-                log_space=log_space)
+            filled = fit
+            for it in range(args.iters):
+                filled, mask = inpaint.complete_occluded(
+                    filled, extinction=args.extinction, tau=tau,
+                    log_space=log_space)
             row = {"setting": f"tau{tau:g}" + ("" if log_space
-                                               else "+linear"),
+                                               else "+linear")
+                   + (f"x{args.iters}" if args.iters > 1 else ""),
                    "filled_frac": round(float(mask.mean()), 5),
                    "total": float(np.mean((np.asarray(filled)
                                            - truth) ** 2)),

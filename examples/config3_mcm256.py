@@ -215,6 +215,26 @@ def main():
     ap.add_argument("--save-fit", default="",
                     help="save the fitted 256^3 volume (npz) for "
                          "forensics")
+    ap.add_argument("--inpaint", action="store_true",
+                    help="after the fit, complete the optically occluded "
+                         "null space with vpt_tpu.inpaint (6-axis "
+                         "visibility mask at the primary extinction + "
+                         "log-domain biharmonic CG solve) — solving the "
+                         "prior's Euler-Lagrange equation on the unseen "
+                         "set instead of descending it in-loop "
+                         "(benchmarks/prior_flow_probe.py measured why "
+                         "descent cannot fill cores)")
+    ap.add_argument("--inpaint-tau", type=float, default=0.15,
+                    help="visibility threshold: optical depth above which "
+                         "a voxel counts as unobserved.  Default from the "
+                         "committed benchmarks/inpaint_sweep.py sweep on "
+                         "the r4 fit: the optimum sits in a broad "
+                         "[0.1, 0.2] basin (total voxel MSE 4.5e-4 at "
+                         "0.15) because the mask must be computed from "
+                         "the FITTED volume, whose underfilled cores "
+                         "under-report their own occlusion — tau well "
+                         "below the 'optically thick' 1.0 compensates; "
+                         "0.05 over-masks and corrupts the visible shell")
     ap.add_argument("--cache", default="examples/config3_cache.npz",
                     help="cache file for the rendered targets AND the "
                          "pre-final-stage fit (they are identical across "
@@ -514,6 +534,22 @@ def main():
     if args.save_fit:
         np.savez(args.save_fit, fit=np.asarray(vol_fit))
 
+    inpaint_fields = {}
+    if args.inpaint:
+        from vpt_tpu import inpaint as inpaint_mod
+        t_inp = time.perf_counter()
+        filled, unseen = inpaint_mod.complete_occluded(
+            vol_fit[..., 0], extinction=exts[0], tau=args.inpaint_tau)
+        vol_fit = jnp.clip(filled, 0.0, 1.0)[..., None]
+        inpaint_fields = {
+            "voxel_mse_inpaint": float(jnp.mean((vol_fit - truth) ** 2)),
+            "inpaint_filled_frac": round(float(unseen.mean()), 5),
+            "inpaint_tau": args.inpaint_tau,
+            "inpaint_seconds": round(time.perf_counter() - t_inp, 1),
+        }
+        buckets_done = bucket_table(vol_fit, "inpaint")
+        inpaint_fields["inpaint_buckets"] = buckets_done
+
     # gallery: rows = views, cols = target / init render / fitted render
     tm = tonemap.get("aces")
     rows = []
@@ -543,6 +579,7 @@ def main():
         "seconds_per_step": round(fit_dt / opt_steps, 2),
         "total_seconds": round(time.perf_counter() - t_all, 1),
         "gallery": args.out,
+        **inpaint_fields,
     }
     print(json.dumps(summary))
 
