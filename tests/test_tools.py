@@ -186,6 +186,17 @@ def test_cli_fit_multiview(tmp_path):
         cli.main(["fit", "--target", *paths, "--method", "mcs",
                   "--grid", "8", "--steps", "1", "-o", str(out)])
 
+    # --inpaint completes the fit's occluded set post-hoc (cli wires
+    # vpt_tpu.inpaint.complete_occluded; committed forensics in
+    # BENCH_NOTES.md "Config-3 end-to-end with occlusion completion")
+    out2 = tmp_path / "vol_inpaint"
+    cli.main(["fit", "--target", *paths, "--view-yaw", "0", "180",
+              "--grid", "8", "--steps", "3", "--eam-slices", "16",
+              "--inpaint", "--inpaint-tau", "0.15", "-o", str(out2)])
+    completed = np.load(str(out2) + ".npy")
+    assert completed.shape == (8, 8, 8, 1)
+    assert completed.min() >= 0.0 and completed.max() <= 1.0
+
 
 def test_cli_fit_iso_depth(tmp_path):
     from vpt_tpu import cli, transfer, volume

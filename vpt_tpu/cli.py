@@ -277,6 +277,25 @@ def cmd_fit(args):
         np.save(args.output, np.asarray(vol))
         print(f"final depth MSE {float(loss):.6f}; wrote {args.output}.npy")
         return
+    def maybe_inpaint(vol, extinction):
+        """Occlusion-aware completion of the fit's null space
+        (vpt_tpu.inpaint): voxels optically thick from every axis
+        direction are filled with the log-domain biharmonic continuation
+        of the recovered material.  tau default from the committed
+        config-3 sweep (BENCH_NOTES.md: optimum basin [0.1, 0.2] —
+        masks from a fitted volume need tau far below 1 because
+        underfilled cores under-report their own occlusion)."""
+        if not args.inpaint:
+            return vol
+        from . import inpaint as inpaint_mod
+
+        filled, mask = inpaint_mod.complete_occluded(
+            vol[..., 0], extinction=float(extinction),
+            tau=args.inpaint_tau)
+        print(f"inpainted {float(mask.mean()) * 100:.2f}% of voxels "
+              f"(tau={args.inpaint_tau:g}, extinction={extinction:g})")
+        return jnp.clip(filled, 0.0, 1.0)[..., None]
+
     target = jnp.asarray(read_image(args.target[0]))
     if args.method in ("mcm", "mcs"):
         # Monte-Carlo inverse rendering through the detached-decision
@@ -289,6 +308,8 @@ def cmd_fit(args):
             target, template, init_volume=init, renderer=args.method,
             frames=args.mc_frames, steps=args.steps,
             learning_rate=args.lr, verbose=True)
+        # fit_mc's default estimator extinctions (train.py:114-117)
+        vol = maybe_inpaint(vol, 10.0 if args.method == "mcm" else 5.0)
         np.save(args.output, np.asarray(vol))
         print(f"final loss {losses[-1]:.6f}; wrote {args.output}.npy")
         return
@@ -324,6 +345,7 @@ def cmd_fit(args):
     params = eam.Params(slices=args.eam_slices or 64, random=False)
     vol, _, losses = fit(targets, views, init, tf, steps=args.steps,
                          learning_rate=args.lr, params=params, verbose=True)
+    vol = maybe_inpaint(vol, params.extinction)
     np.save(args.output, np.asarray(vol))
     from .train import render_eam
     pred = render_eam(vol, tf, views[0], params, jnp.float32(0.0),
@@ -439,6 +461,14 @@ def main(argv=None):
                         "target)")
     p.add_argument("--mc-frames", type=int, default=32,
                    help="MC frames averaged per optimization step")
+    p.add_argument("--inpaint", action="store_true",
+                   help="complete the fit's occluded null space after "
+                        "optimization (vpt_tpu.inpaint: optical-depth "
+                        "visibility + log-domain biharmonic CG fill; "
+                        "eam/mcm/mcs methods)")
+    p.add_argument("--inpaint-tau", type=float, default=0.15,
+                   help="visibility threshold (committed sweep optimum; "
+                        "BENCH_NOTES.md config-3 completion)")
     p.add_argument("--output", "-o", default="fitted_volume")
     p.add_argument("--platform", default=None)
     p.set_defaults(func=cmd_fit)
