@@ -75,14 +75,16 @@ def main():
         for log_space in ((True,) if args.log_only else (True, False)):
             t0 = time.perf_counter()
             filled = fit
-            for it in range(args.iters):
+            union = None
+            for it in range(max(args.iters, 1)):
                 filled, mask = inpaint.complete_occluded(
                     filled, extinction=args.extinction, tau=tau,
                     log_space=log_space)
+                union = mask if union is None else (union | mask)
             row = {"setting": f"tau{tau:g}" + ("" if log_space
                                                else "+linear")
                    + (f"x{args.iters}" if args.iters > 1 else ""),
-                   "filled_frac": round(float(mask.mean()), 5),
+                   "filled_frac": round(float(union.mean()), 5),
                    "total": float(np.mean((np.asarray(filled)
                                            - truth) ** 2)),
                    "seconds": round(time.perf_counter() - t0, 1),

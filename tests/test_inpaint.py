@@ -89,7 +89,12 @@ def test_blobs_core_completion(tau):
     damaged = jnp.where(mask, 0.45 * truth, truth)
     filled, m2 = inpaint.complete_occluded(damaged, extinction=25.0,
                                            tau=tau)
-    assert bool(jnp.all(m2 | ~mask)) or True  # mask recomputed on damaged
+    # m2 is recomputed on the damaged volume: damage only lowers density,
+    # optical depth is monotone in density, so the recomputed unseen set
+    # must be a subset of the truth-derived one (m2 ⊆ mask) — and the
+    # damage pattern must still be detectable (m2 nonempty).
+    assert bool(jnp.all(~m2 | mask))
+    assert bool(m2.any())
     mn = np.asarray(mask)
     tr = np.asarray(truth)
     mse0 = float(np.mean((np.asarray(damaged) - tr)[mn] ** 2))

@@ -248,6 +248,9 @@ def cmd_fit(args):
     tf = gray_ramp(alpha_scale=1.0)
     if args.method == "iso-depth":
         # inverse isosurface geometry from a depth map (BASELINE config 1)
+        if args.inpaint:
+            print("warning: --inpaint applies to the density-fitting "
+                  "methods (eam/mcm/mcs) only — ignored for iso-depth")
         import optax
 
         from .renderers import diff_iso, make_scene
@@ -301,6 +304,7 @@ def cmd_fit(args):
         # Monte-Carlo inverse rendering through the detached-decision
         # estimators (BASELINE config 3)
         from .renderers import make_scene
+        from . import train as fit_mc_mod
         from .train import fit_mc
 
         template = make_scene(init, tf, pack=False)
@@ -308,8 +312,7 @@ def cmd_fit(args):
             target, template, init_volume=init, renderer=args.method,
             frames=args.mc_frames, steps=args.steps,
             learning_rate=args.lr, verbose=True)
-        # fit_mc's default estimator extinctions (train.py:114-117)
-        vol = maybe_inpaint(vol, 10.0 if args.method == "mcm" else 5.0)
+        vol = maybe_inpaint(vol, fit_mc_mod.MC_FIT_EXTINCTION[args.method])
         np.save(args.output, np.asarray(vol))
         print(f"final loss {losses[-1]:.6f}; wrote {args.output}.npy")
         return
@@ -467,8 +470,12 @@ def main(argv=None):
                         "visibility + log-domain biharmonic CG fill; "
                         "eam/mcm/mcs methods)")
     p.add_argument("--inpaint-tau", type=float, default=0.15,
-                   help="visibility threshold (committed sweep optimum; "
-                        "BENCH_NOTES.md config-3 completion)")
+                   help="visibility threshold.  The default is the "
+                        "committed config-3 sweep optimum AT extinction "
+                        "25 (BENCH_NOTES.md); the mask thresholds "
+                        "extinction-scaled optical depth, so re-sweep "
+                        "(or scale) tau when fitting at a different "
+                        "extinction or scene family")
     p.add_argument("--output", "-o", default="fitted_volume")
     p.add_argument("--platform", default=None)
     p.set_defaults(func=cmd_fit)

@@ -92,6 +92,12 @@ def make_train_step(optimizer: optax.GradientTransformation,
     return step
 
 
+#: default estimator extinctions fit_mc uses when no Params are passed —
+#: the single source for callers that need the fit's optical depth after
+#: the fact (cli.py's --inpaint visibility mask reads it from here)
+MC_FIT_EXTINCTION = {"mcm": 10.0, "mcs": 5.0}
+
+
 def fit_mc(target, scene_template, init_volume=None, init_tf=None,
            renderer: str = "mcm", params=None, frames: int = 64,
            steps: int = 50, learning_rate: float = 0.02,
@@ -111,10 +117,12 @@ def fit_mc(target, scene_template, init_volume=None, init_tf=None,
     from .renderers import mcs as mcs_mod
 
     if renderer == "mcm":
-        params = params or mcm_mod.Params(extinction=10.0, steps=16)
+        params = params or mcm_mod.Params(
+            extinction=MC_FIT_EXTINCTION["mcm"], steps=16)
         expected = diff_mc.mcm_expected_image
     elif renderer == "mcs":
-        params = params or mcs_mod.Params(extinction=5.0)
+        params = params or mcs_mod.Params(
+            extinction=MC_FIT_EXTINCTION["mcs"])
         expected = diff_mc.mcs_expected_image
     else:
         raise ValueError("fit_mc supports 'mcm' and 'mcs'")
