@@ -75,6 +75,36 @@ def test_record_animation(tmp_path):
     assert files == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
 
 
+def test_record_animation_video(tmp_path):
+    # MediaRecorder parity (RenderingContext.js:305-352): --video emits a
+    # playable file; mp4/webm/avi decode back via OpenCV, gif via PIL.
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    ctx = make_ctx()
+    vid = tmp_path / "anim.mp4"
+    ctx.record_animation(tmp_path / "anim", frames=3, spp=1, video=vid,
+                         fps=10)
+    assert vid.exists() and vid.stat().st_size > 0
+    cap = cv2.VideoCapture(str(vid))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3
+
+
+def test_write_video_gif_fallback(tmp_path):
+    from vpt_tpu.io.video import write_video
+
+    frames = [np.full((16, 16, 3), i * 60, np.uint8) for i in range(3)]
+    written = write_video(tmp_path / "clip.gif", frames, fps=5)
+    assert written.suffix == ".gif" and written.stat().st_size > 0
+    # unknown extension degrades to GIF instead of failing
+    written = write_video(tmp_path / "clip.xyz", frames, fps=5)
+    assert written.suffix == ".gif" and written.exists()
+
+
 def test_orbit_animator_distance_and_focus():
     cam = default_camera()
     orbit = OrbitCameraAnimator(cam)

@@ -438,7 +438,10 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=36)
     p.add_argument("--path", default="orbit", choices=["orbit", "circle"])
     p.add_argument("--orbit-radius", type=float, default=0.5)
-    p.add_argument("--video", help="also write an animated GIF here")
+    p.add_argument("--video", help="also encode the animation to video "
+                                   "(.mp4/.webm/.avi via OpenCV, .gif via "
+                                   "PIL; degrades to GIF with a message "
+                                   "when no encoder exists)")
     p.add_argument("--fps", type=int, default=25)
     p.set_defaults(func=cmd_animate)
 

@@ -208,9 +208,10 @@ class RenderingContext:
         """Render an animation: for each frame, advance the camera animator,
         reset, accumulate ``spp`` samples, write the frame (replaces the
         time-boxed loop of RenderingContext.js:256-303; sample-counted per
-        SURVEY §3.5).  ``video``: optionally also write an animated GIF —
-        the counterpart of the reference's MediaRecorder video path
-        (RenderingContext.js:305-352)."""
+        SURVEY §3.5).  ``video``: optionally also encode the frames to a
+        video file — the counterpart of the reference's MediaRecorder path
+        (RenderingContext.js:305-352); extension picks the codec
+        (.mp4/.webm/.avi via OpenCV, .gif via PIL — io/video.py)."""
         from pathlib import Path
 
         from ..io.image import to_uint8, write_png
@@ -234,9 +235,8 @@ class RenderingContext:
             if progress:
                 progress((i + 1) / frames)
         if video:
-            from PIL import Image
+            from ..io.video import write_video
 
-            pil = [Image.fromarray(f) for f in rendered]
-            pil[0].save(video, save_all=True, append_images=pil[1:],
-                        duration=int(1000 / fps), loop=0)
+            written = write_video(video, rendered, fps=fps)
+            print(f"wrote video {written}")
         return out
