@@ -7,9 +7,9 @@ LAORenderer.glsl:97-191, MCMRenderer.glsl:116-171 — executed exactly as a
 fragment invocation would run (sequential march, scalar accumulators, same
 RNG chain), checked against the vectorized TPU machines at ≤1e-4 on EVERY
 pixel of the frame (VERDICT r2 #4; r1's version spot-checked 4 pixels).
-EAM and MCM — the march archetype and the flagship — run at 33²
-(VERDICT r3 #5); LAO runs at the renderer's own defaults (64 slices,
-20-step AO rays).  Progressive accumulation state is covered for every
+Every marcher — EAM/MIP/ISO/Depth/DOS — and the flagship MCM run at
+33² (VERDICT r3 #5, r4 #7); LAO runs at the renderer's own defaults
+(64 slices, 20-step AO rays).  Progressive accumulation state is covered for every
 stateful renderer (MCM photon state over 3 frames, DOS sweep state over
 3 frames, MCS incremental-mean integration over 3 frames) and the
 ``tf_srgb`` GL-texture mode has its own full-frame check.
@@ -188,12 +188,13 @@ def test_mip_matches_sequential_emulation(sc):
 
     params = mip.Params(steps=16)
     seed = np.float32(0.13)
-    frame = np.asarray(mip.generate(sc, params, jnp.float32(seed), N, N))
+    frame = np.asarray(mip.generate(sc, params, jnp.float32(seed),
+                                    N_WIDE, N_WIDE))
 
-    rays = Rays(sc)
+    rays = Rays(sc, n=N_WIDE)
     offset = _frame_offset(seed)
     step = np.float32(1.0 / 16)
-    for (i, j) in ALL_PIXELS:
+    for (i, j) in WIDE_PIXELS:
         start, end, _, _, miss = rays.pixel(i, j)
         if miss:
             expect = np.float32(0.0)
@@ -212,12 +213,13 @@ def test_iso_matches_sequential_emulation(sc):
 
     params = iso.Params(isovalue=0.5, steps=16)
     seed = np.float32(0.77)
-    frame = np.asarray(iso.generate(sc, params, jnp.float32(seed), N, N))
+    frame = np.asarray(iso.generate(sc, params, jnp.float32(seed),
+                                    N_WIDE, N_WIDE))
 
-    rays = Rays(sc)
+    rays = Rays(sc, n=N_WIDE)
     offset = _frame_offset(seed)
     step = np.float32(1.0 / 16)
-    for (i, j) in ALL_PIXELS:
+    for (i, j) in WIDE_PIXELS:
         start, end, _, _, miss = rays.pixel(i, j)
         closest = np.full(4, -1.0, np.float32)
         if not miss:
@@ -235,11 +237,12 @@ def test_depth_matches_sequential_emulation(sc):
 
     params = depth.Params(extinction=120.0, slices=16, threshold=0.1,
                           random=False)
-    frame = np.asarray(depth.generate(sc, params, jnp.float32(0.0), N, N))
+    frame = np.asarray(depth.generate(sc, params, jnp.float32(0.0),
+                                      N_WIDE, N_WIDE))
 
-    rays = Rays(sc)
+    rays = Rays(sc, n=N_WIDE)
     step = np.float32(1.0 / 16)
-    for (i, j) in ALL_PIXELS:
+    for (i, j) in WIDE_PIXELS:
         start, end, tn, tf_, miss = rays.pixel(i, j)
         if miss:
             expect = np.float32(-1.0)
@@ -418,9 +421,9 @@ def test_dos_matches_sequential_emulation(sc):
 
     params = dos.Params(extinction=60.0, aperture=30.0, steps=10, slices=24,
                         samples=4)
-    state = dos.reset(params, N, N, sc)
+    state = dos.reset(params, N_WIDE, N_WIDE, sc)
 
-    ndc = np.asarray(sampling.pixel_ndc(N, N))
+    ndc = np.asarray(sampling.pixel_ndc(N_WIDE, N_WIDE))
     mapped = (ndc * 0.5 + 0.5).astype(np.float32)
     mvp_inv = np.asarray(sc.mvp_inverse)
     proj = np.asarray(sc.projection)
@@ -433,8 +436,8 @@ def test_dos_matches_sequential_emulation(sc):
     occl_extent = np.float32(sdist * np.tan(np.float32(30.0)
                                             * np.pi / 180.0))
 
-    color = np.zeros((N, N, 4), np.float32)
-    occlusion = np.ones((N, N), np.float32)
+    color = np.zeros((N_WIDE, N_WIDE, 4), np.float32)
+    occlusion = np.ones((N_WIDE, N_WIDE), np.float32)
     for frame in range(3):
         state = dos.render_frame(state, sc, params, jnp.float32(0.0),
                                  jnp.int32(frame + 1))
@@ -450,8 +453,8 @@ def test_dos_matches_sequential_emulation(sc):
 
             new_occl = occlusion.copy()
             new_color = color.copy()
-            for i in range(N):
-                for j in range(N):
+            for i in range(N_WIDE):
+                for j in range(N_WIDE):
                     ph = mvp_inv @ np.array([ndc[i, j, 0], ndc[i, j, 1],
                                              corr[2], 1.0], np.float32)
                     pos = (ph[:3] / ph[3]).astype(np.float32)
