@@ -41,8 +41,9 @@ def count_collectives(compiled) -> dict:
     hlo = compiled.as_text()
     counts = {}
     for op in COLLECTIVES + ("gather", "scatter"):
-        # count op *instructions* (lines like "%x = ... all-reduce(...")
-        n = len(re.findall(rf"= \S* ?{op}(?:-start)?\(", hlo))
+        # count op *instructions* (lines like "%x = ... all-reduce(...");
+        # the shape token may be a tuple with spaces, hence the loose .*
+        n = len(re.findall(rf"= .* {op}(?:-start)?\(", hlo))
         if n:
             counts[op] = n
     return counts
@@ -89,6 +90,27 @@ def halo_frame(mesh, packed, tracking=False):
     lowered = jax.jit(
         lambda st, sl, seed, fr: frame_fn(st, sl, params, seed, fr)
     ).lower(state, slabs, jnp.float32(0.5), jnp.int32(1))
+    return lowered.compile()
+
+
+def resident_frame(mesh, packed=True):
+    """Resident-photon MCM frame (parallel/resident.py): per-round
+    collectives are the row all_to_all plus the two small grant
+    all_gathers — count them in the optimized HLO."""
+    from vpt_tpu import transfer, volume
+    from vpt_tpu.parallel.resident import (
+        resident_render_frame, resident_reset,
+    )
+    from vpt_tpu.renderers import make_scene, mcm
+
+    scene = make_scene(volume.sphere_volume(16),
+                       transfer.gray_ramp(alpha_scale=1.0), pack=packed)
+    params = mcm.Params(extinction=10.0, steps=4)
+    pool = resident_reset(scene, params, 32, 32, mesh, num_slabs=2)
+    frame_fn, tables = resident_render_frame(mesh, scene, 2, 32, 32)
+    lowered = jax.jit(
+        lambda p, t, seed, fr: frame_fn(p, t, params, seed, fr)
+    ).lower(pool, tables, jnp.float32(0.5), jnp.int32(1))
     return lowered.compile()
 
 
@@ -153,6 +175,8 @@ def main():
         halo_frame(mesh, packed=True))
     results["mcm_frame_halo_packed_cheb_tracking"] = count_collectives(
         halo_frame(mesh, packed=True, tracking=True))
+    results["mcm_frame_resident_packed"] = count_collectives(
+        resident_frame(mesh, packed=True))
     results["train_step_monolithic"] = count_collectives(
         train_step(mesh, bucketed=False))
     results["train_step_bucketed"] = count_collectives(

@@ -61,7 +61,8 @@ class HaloScene:
     def __init__(self, slab, slab_index, num_slabs: int, volume_shape,
                  transfer, environment, mvp_inverse, model_view, projection,
                  axis: str = "space", slab_packed=None, transfer_packed=None,
-                 slab_tracking=None, transfer_mxu=None):
+                 slab_tracking=None, transfer_mxu=None,
+                 collective: bool = True):
         self.slab = slab                    # (Ds+1, H, W, C)
         self.slab_index = slab_index
         self.num_slabs = num_slabs
@@ -81,6 +82,12 @@ class HaloScene:
         #: slices of skipgrid.pack_tracking_volume's output) — the mcm/mcs
         #: use_skip branches duck-type on this attribute
         self.tracking_packed = slab_tracking
+        #: False = local-only sampling (parallel/resident.py): the caller
+        #: guarantees every position is owned by this slab, so the
+        #: ownership mask and psum are skipped — the gather+lerp chain is
+        #: otherwise identical, keeping resident and halo samples bitwise
+        #: comparable
+        self.collective = collective
 
     # -- trilinear over the local slab with ownership masking --------------
     def _sample(self, position):
@@ -114,6 +121,8 @@ class HaloScene:
         c11 = g(x0, y1, z1) * (1 - fx) + g(x1, y1, z1) * fx
         val = (c00 * (1 - fy) + c10 * fy) * (1 - fz) \
             + (c01 * (1 - fy) + c11 * fy) * fz
+        if not self.collective:
+            return val
         val = jnp.where(local[..., None], val, 0.0)
         return lax.psum(val, self.axis)
 
@@ -137,6 +146,8 @@ class HaloScene:
         cy = cx[..., 0::2, :] * (1 - fy)[..., None] \
             + cx[..., 1::2, :] * fy[..., None]
         val = cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz
+        if not self.collective:
+            return val
         val = jnp.where(local[..., None], val, 0.0)
         return lax.psum(val, self.axis)
 
