@@ -32,8 +32,11 @@ def bench_config(res: int, vol_n: int, steps: int, frames: int,
 
     vol = volume.sphere_volume(vol_n)
     tf = transfer.gray_ramp(alpha_scale=0.8)
-    scene = make_scene(vol, tf, pack_dtype=jnp.bfloat16, tf_mxu=True,
-                       majorant_grid=majorant)
+    # pack defaults off above 256³; the 512³ row (VERDICT r4 #4) forces
+    # it — the bf16 corner table is ~2.1 GiB, within this chip's HBM
+    # (packing peaks at the transient f32 table, ~4.3 GiB)
+    scene = make_scene(vol, tf, pack=True, pack_dtype=jnp.bfloat16,
+                       tf_mxu=True, majorant_grid=majorant)
     params = mcm.Params(extinction=40.0, anisotropy=0.3, steps=steps)
     state = mcm.reset(params, res, res, scene)
     frame_fn = jax.jit(mcm.render_frame, donate_argnums=(0,))
@@ -67,6 +70,9 @@ def bench_config(res: int, vol_n: int, steps: int, frames: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on the config name "
+                         "(e.g. '512^3')")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu - the "
                          "JAX_PLATFORMS env var is pinned at interpreter "
@@ -91,8 +97,13 @@ def main():
         (512, 256, 8, 16),        # + local-majorant tracking
         (1024, 256, 8, None),
         (1024, 256, 8, 16),
+        (256, 512, 8, None),      # BASELINE config-4 volume, small image
+        (512, 512, 8, None),      # 512³ at the headline image size
     ]
     for res, vol_n, steps, majorant in configs:
+        name = f"{res}x{res}/{vol_n}^3/steps{steps}"
+        if args.only and args.only not in name:
+            continue
         print(json.dumps(bench_config(res, vol_n, steps, args.frames,
                                       majorant)), flush=True)
 

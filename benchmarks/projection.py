@@ -173,6 +173,64 @@ def spatial_sharded(n_chips: int, space: int, pixels: int,
     }
 
 
+def resident_sharded(n_chips: int, space: int, pixels: int,
+                     dims: tuple, curve: GatherCurve, chip: ChipSpec,
+                     mean_path_events: float,
+                     imbalance: float = 2.5,
+                     crossing_fraction: float = 0.03,
+                     pool_tax_ns: float = 3.0,
+                     row_move_ns: float = 25.0,
+                     row_bytes: float = 92.0,
+                     round_latency_us: float = 5.0) -> dict:
+    """Resident-photon MCM (parallel/resident.py): photons live on their
+    slab's owner and boundary crossers migrate as rows, so the space axis
+    divides the event WORK (unlike halo's ownership-mask replication) and
+    every chip gathers from its slab-local table.
+
+    Cost model per round (one event per photon) on the bottleneck chip:
+    - compute: K_eff slots × (event cost at the per-slab table size +
+      the pool-machinery tax), K_eff = imbalance × pixels/(data·space)
+      — ``imbalance`` is the measured max/mean pool occupancy
+      (benchmarks/resident_probe.py --mode crossing: 1.5–2.5 with the
+      slab axis ⊥ the view — a scene-build choice — up to ~6 when the
+      view axis is slab-aligned; the camera-entry plane is where photons
+      reset);
+    - migration: crossing_fraction × K_eff rows × (on-chip scatter/merge
+      row_move_ns + wire row_bytes·2/ICI);
+    - per-round collective latency (1 all_to_all + 2 grant all_gathers).
+
+    ``pool_tax_ns`` and ``row_move_ns`` are the single-chip measured
+    inputs (resident_probe --mode machinery / rowcost);
+    ``crossing_fraction`` comes from the machine's own migration
+    counters on the virtual mesh with real volumes."""
+    if n_chips % space:
+        raise ValueError("space must divide n_chips")
+    d, h, w = dims
+    data = n_chips // space
+    group = pixels // data
+    k_eff = imbalance * group / space
+    slab_rows = (d // space + 1) * h * w
+    comp_ns = k_eff * (curve.event_ns(slab_rows) + pool_tax_ns)
+    wire_ns_per_row = 2.0 * row_bytes / chip.ici_axis_gbps \
+        if space > 1 else 0.0
+    mig_ns = crossing_fraction * k_eff * (row_move_ns + wire_ns_per_row)
+    round_ns = comp_ns + mig_ns + round_latency_us * 1e3
+    agg = data * group * 1e9 / round_ns          # one event/photon/round
+    single_chip = 1e9 / curve.event_ns(d * h * w)
+    return {
+        "strategy": f"resident-photon, space={space}, data={data}",
+        "n_chips": n_chips,
+        "slab_rows": slab_rows,
+        "k_eff_slots": k_eff,
+        "comp_ns_per_round": comp_ns,
+        "migration_ns_per_round": mig_ns,
+        "aggregate_events_per_s": agg,
+        "aggregate_paths_per_s": agg / mean_path_events,
+        "efficiency": agg / (n_chips * single_chip),
+        "collectives_per_event": 3,     # all_to_all + 2 grant all_gathers
+    }
+
+
 def grad_allreduce_efficiency(grad_bytes: float, n_chips: int,
                               step_time_s: float, chip: ChipSpec,
                               overlap_fraction: float = 0.8) -> dict:
@@ -213,13 +271,19 @@ def v5p16_projection(headline_events_per_s: float = 180.7e6,
         # ~2²¹ rows — the capacity/latency mode)
         sp256 = spatial_sharded(8, 8, 1024 * 1024, (256, 256, 256), curve,
                                 V5P, dense256_mean_path)
-        # 512³ (BASELINE config 4), both strategies
+        # 256³, resident-photon space=8 (work-dividing spatial sharding)
+        rs256 = resident_sharded(8, 8, 1024 * 1024, (256, 256, 256),
+                                 curve, V5P, dense256_mean_path)
+        # 512³ (BASELINE config 4), all three strategies
         dp512_rate = 1e9 / curve.event_ns(512 ** 3)
         dp512 = dp_replicated(8, dp512_rate, dense256_mean_path)
         sp512 = spatial_sharded(8, 8, 1024 * 1024, (512, 512, 512), curve,
                                 V5P, dense256_mean_path)
+        rs512 = resident_sharded(8, 8, 1024 * 1024, (512, 512, 512),
+                                 curve, V5P, dense256_mean_path)
         out[scen] = {"dp128": dp128, "dp256": dp256, "spatial256": sp256,
-                     "dp512": dp512, "spatial512": sp512}
+                     "resident256": rs256, "dp512": dp512,
+                     "spatial512": sp512, "resident512": rs512}
     return out
 
 

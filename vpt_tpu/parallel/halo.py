@@ -62,7 +62,7 @@ class HaloScene:
                  transfer, environment, mvp_inverse, model_view, projection,
                  axis: str = "space", slab_packed=None, transfer_packed=None,
                  slab_tracking=None, transfer_mxu=None,
-                 collective: bool = True):
+                 collective: bool = True, interleave: int = 1):
         self.slab = slab                    # (Ds+1, H, W, C)
         self.slab_index = slab_index
         self.num_slabs = num_slabs
@@ -88,11 +88,18 @@ class HaloScene:
         #: otherwise identical, keeping resident and halo samples bitwise
         #: comparable
         self.collective = collective
+        #: cyclic thin-slab assignment (resident.py's load-balance knob):
+        #: the volume splits into interleave·S thin slabs, chip c owning
+        #: thin slabs {c, c+S, …} each with its own halo plane,
+        #: concatenated along z in the local arrays.  interleave=1 is the
+        #: contiguous layout.  Balances camera-entry photon pileup at the
+        #: cost of ~interleave× more boundary crossings — measured cheap
+        #: (benchmarks/resident_probe.py).
+        self.interleave = interleave
 
     # -- trilinear over the local slab with ownership masking --------------
     def _sample(self, position):
         d, h, w, c = self.volume_shape
-        ds = d // self.num_slabs
         zloc, y0, x0, fx, fy, fz, local = self._cell_coords(position)
 
         if self.slab_packed is not None:
@@ -110,7 +117,7 @@ class HaloScene:
         y1 = jnp.minimum(y0 + 1, h - 1)
         z1 = zloc + 1                       # halo plane, always present
 
-        flat = self.slab.reshape((ds + 1) * h * w, c)
+        flat = self.slab.reshape(-1, c)
 
         def g(x, y, z):
             return jnp.take(flat, (z * h + y) * w + x, axis=0)
@@ -132,13 +139,14 @@ class HaloScene:
         from .. import sampling
 
         d, h, w = self.volume_shape[:3]
-        ds = d // self.num_slabs
         # total_rows derives from the slab that produced the tables (not
         # the global shape) so a halo-depth mismatch raises in
         # gather_packed_corners instead of mis-detecting the fold
         sd, sh, sw = self.slab.shape[:3]
-        assert (sd, sh, sw) == (ds + 1, h, w), \
-            f"slab shape {self.slab.shape} != expected ({ds + 1},{h},{w})"
+        exp_sd = self.interleave \
+            * (d // (self.interleave * self.num_slabs) + 1)
+        assert (sd, sh, sw) == (exp_sd, h, w), \
+            f"slab shape {self.slab.shape} != expected ({exp_sd},{h},{w})"
         rows = sampling.gather_packed_corners(
             table, (zloc * h + y0) * w + x0, sd * sh * sw, c)
         cx = rows[..., 0::2, :] * (1 - fx)[..., None] \
@@ -153,9 +161,15 @@ class HaloScene:
 
     def _cell_coords(self, position):
         """(zloc, y0, x0, fx, fy, fz, local) for ``position`` — the
-        slab-local trilinear cell addressing shared by the samplers."""
+        slab-local trilinear cell addressing shared by the samplers.
+
+        With ``interleave`` m > 1, zloc addresses the concatenation of
+        this chip's m thin slabs-with-halo: thin slab t = z0 // thin_ds
+        belongs to chip t mod S and maps to local planes
+        (t div S)·(thin_ds+1) + (z0 − t·thin_ds).  Cells never index
+        their slab's halo plane as z0, so the concatenation seams are
+        unreachable garbage rows."""
         d, h, w = self.volume_shape[:3]
-        ds = d // self.num_slabs
         dims = jnp.array([w, h, d], jnp.float32)
         u = jnp.clip(position * dims - 0.5, 0.0, dims - 1.0)
         i0 = jnp.floor(u)
@@ -163,9 +177,17 @@ class HaloScene:
         i0 = jnp.clip(i0.astype(jnp.int32), 0,
                       jnp.array([w - 1, h - 1, d - 1], jnp.int32))
         x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
-        owner = jnp.clip(z0 // ds, 0, self.num_slabs - 1)
-        local = owner == self.slab_index
-        zloc = jnp.clip(z0 - self.slab_index * ds, 0, ds - 1)
+        if self.interleave == 1:
+            ds = d // self.num_slabs
+            owner = jnp.clip(z0 // ds, 0, self.num_slabs - 1)
+            local = owner == self.slab_index
+            zloc = jnp.clip(z0 - self.slab_index * ds, 0, ds - 1)
+        else:
+            thin_ds = d // (self.interleave * self.num_slabs)
+            thin = z0 // thin_ds
+            local = (thin % self.num_slabs) == self.slab_index
+            zloc = (thin // self.num_slabs) * (thin_ds + 1) \
+                + (z0 - thin * thin_ds)
         return zloc, y0, x0, f[..., 0:1], f[..., 1:2], f[..., 2:3], local
 
     def sample_color_tracking(self, position):

@@ -75,15 +75,33 @@ from ..renderers.base import Scene
 from .halo import HaloScene, shard_volume_with_halo
 
 
-def slab_owner(position, depth: int, num_slabs: int):
+def slab_owner(position, depth: int, num_slabs: int, interleave: int = 1):
     """Space-axis owner of a sample position: the slab holding the
     trilinear cell's z0 plane — the same addressing as
     HaloScene._cell_coords, so ownership and the slab-local gather agree
     bitwise (OOB positions clamp; their sample is discarded by the oob
-    branch, so any owner is valid — the clamped one is deterministic)."""
+    branch, so any owner is valid — the clamped one is deterministic).
+
+    ``interleave`` m > 1 assigns thin slab t = z0 // (d/(m·S)) to chip
+    t mod S (cyclic): the load-balance mode for camera-entry photon
+    pileup (see HaloScene.interleave)."""
     z = jnp.clip(position[..., 2] * depth - 0.5, 0.0, depth - 1.0)
     z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, depth - 1)
-    return jnp.clip(z0 // (depth // num_slabs), 0, num_slabs - 1)
+    if interleave == 1:
+        return jnp.clip(z0 // (depth // num_slabs), 0, num_slabs - 1)
+    return (z0 // (depth // (interleave * num_slabs))) % num_slabs
+
+
+def shard_volume_cyclic(volume, num_slabs: int, interleave: int):
+    """(D, H, W, C) → (S, m·(thin_ds+1), H, W, C): chip c's block is the
+    z-concatenation of thin slabs {c, c+S, …, c+(m−1)S}, each with its
+    own +z halo plane (shard_volume_with_halo over m·S thin slabs,
+    regrouped cyclically)."""
+    thin = shard_volume_with_halo(volume, interleave * num_slabs)
+    t, rest = thin.shape[0], thin.shape[1:]
+    grouped = thin.reshape((interleave, num_slabs) + rest)
+    grouped = jnp.moveaxis(grouped, 0, 1)       # (S, m, thin_ds+1, …)
+    return grouped.reshape((num_slabs, interleave * rest[0]) + rest[1:])
 
 
 #: photon-state fields that ride in the pool (the MCM state dict minus the
@@ -201,7 +219,8 @@ def _exchange(pool, dest, departs, num_slabs: int, fanout: int, axis: str):
 def resident_reset(scene: Scene, params: mcm.Params, height: int,
                    width: int, mesh: Mesh, num_slabs: int,
                    capacity: int | None = None, seed: float = 0.0,
-                   data_axis: str = "data", space_axis: str = "space"):
+                   data_axis: str = "data", space_axis: str = "space",
+                   interleave: int = 1):
     """Initial sharded pool state: the replicated MCM reset (mcm.reset —
     identical photon seeding), distributed into per-device pools by slab
     ownership of each photon's entry position, spilling to free capacity
@@ -229,7 +248,8 @@ def resident_reset(scene: Scene, params: mcm.Params, height: int,
     rows = {f: np.asarray(state[f]).reshape(n_pix, -1) for f in fields}
     rows["ndc"] = np.asarray(ndc).reshape(n_pix, 2)
     owner = np.asarray(slab_owner(jnp.asarray(rows["position"]),
-                                  scene.volume.shape[0], num_slabs))
+                                  scene.volume.shape[0], num_slabs,
+                                  interleave))
 
     pool = {f: np.zeros((n_data, num_slabs, capacity, v.shape[-1]),
                         v.dtype) for f, v in rows.items()}
@@ -270,7 +290,8 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
                           height: int, width: int,
                           data_axis: str = "data",
                           space_axis: str = "space",
-                          fanout: int | None = None):
+                          fanout: int | None = None,
+                          interleave: int = 1):
     """Build the jitted resident-photon MCM frame function.
 
     Returns ``(frame_fn, tables)``: call
@@ -281,7 +302,7 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
     halo.sharded_render_frame's.  ``fanout`` bounds rows exchanged per
     (round, destination); None = capacity (stall-free)."""
     volume_shape = scene.volume.shape
-    slabs = shard_volume_with_halo(scene.volume, num_slabs)
+    slabs = shard_volume_cyclic(scene.volume, num_slabs, interleave)
     packed = scene.volume_packed is not None
     slabs_packed = None
     if packed:
@@ -293,8 +314,8 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
         d, h, w = volume_shape[:3]
         lanes = scene.tracking_packed.shape[-1]
         t3d = scene.tracking_packed.reshape(d, h, w, lanes)
-        slabs_tracking = shard_volume_with_halo(t3d, num_slabs).reshape(
-            num_slabs, -1, lanes)
+        slabs_tracking = shard_volume_cyclic(
+            t3d, num_slabs, interleave).reshape(num_slabs, -1, lanes)
     use_skip = tracked
     cell = mcm.skip_cell_size(scene) if use_skip else None
     inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
@@ -314,9 +335,16 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
             slab_tracking=(None if slab_tracking is None
                            else slab_tracking[0]),
             transfer_mxu=tf_mxu,
-            collective=False)
+            collective=False, interleave=interleave)
         k = pool["occupied"].shape[0]
         fo = min(fanout, k) if fanout is not None else k
+
+        def _dest_of(pool):
+            pos = pool["position"]
+            dest = slab_owner(pos, volume_shape[0], num_slabs, interleave)
+            oob = jnp.any((pos > 1.0) | (pos < 0.0), axis=-1)
+            spread = pool["pixel_id"] % num_slabs
+            return jnp.where(oob, spread, dest)
 
         # per-frame reseed, exactly as the replicated render_frame
         # (MCMRenderer.glsl:128): hash of (mapped.xy, seed).  Stalled
@@ -343,9 +371,14 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
                                          pool["position"])
             pool["pending"] = occ
 
-            # migrate pending photons to their sample's slab owner
-            dest = slab_owner(pool["position"], volume_shape[0],
-                              num_slabs)
+            # migrate pending photons to their sample's slab owner.
+            # OOB pending positions deposit without using their sample
+            # (interact_phase discards vs wherever oob holds), so those
+            # photons take a uniform pixel-hash owner instead of piling
+            # on the boundary slabs — miss-ray photons are a large,
+            # permanently-OOB population (the measured edge-slab pileup
+            # in resident_probe --mode crossing).
+            dest = _dest_of(pool)
             departs = pool["pending"] & (dest != sidx)
             pool, n_stall, n_drop, n_moved = _exchange(
                 pool, dest, departs, num_slabs, fo, space_axis)
@@ -357,8 +390,7 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
 
             # interact: local pending photons sample the slab and commit
             occ = pool["occupied"]
-            dest = slab_owner(pool["position"], volume_shape[0],
-                              num_slabs)
+            dest = _dest_of(pool)
             ready = occ & pool["pending"] & (dest == sidx)
             ph = _ph_of(pool)
             if use_skip:
