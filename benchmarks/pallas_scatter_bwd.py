@@ -47,7 +47,9 @@ def make_fused_scatter(rows, block, interpret=False):
 
     lanes = 128
 
-    def kernel(idx_ref, ct_ref, table_ref, out_ref, sem):
+    def kernel(idx_ref, ct_ref, table_ref, dummy_ref, out_table_ref,
+               sem):
+        del table_ref             # aliased with out_table_ref; use that
         i = pl.program_id(0)
 
         def body(scratch):
@@ -57,7 +59,7 @@ def make_fused_scatter(rows, block, interpret=False):
                 row = packed >> 4
                 sub = packed & 15
                 rd = pltpu.make_async_copy(
-                    table_ref.at[pl.ds(row, 1), :],
+                    out_table_ref.at[pl.ds(row, 1), :],
                     scratch.at[pl.ds(0, 1), :], sem)
                 rd.start()
                 rd.wait()
@@ -68,14 +70,14 @@ def make_fused_scatter(rows, block, interpret=False):
                 scratch[pl.ds(0, 1), :] = acc
                 wr = pltpu.make_async_copy(
                     scratch.at[pl.ds(0, 1), :],
-                    table_ref.at[pl.ds(row, 1), :], sem)
+                    out_table_ref.at[pl.ds(row, 1), :], sem)
                 wr.start()
                 wr.wait()
 
         pl.run_scoped(body, pltpu.VMEM((1, lanes), jnp.float32))
-        # the aliased table IS the output; touch out_ref so the block
-        # pipeline has something to emit (1-element dummy)
-        out_ref[0] = jnp.int32(0)
+        # the aliased table IS the real output; the dummy gives the
+        # block pipeline something block-mapped to emit
+        dummy_ref[0] = jnp.int32(0)
 
     @jax.jit
     def scatter(idx, ct, table):
@@ -88,7 +90,8 @@ def make_fused_scatter(rows, block, interpret=False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pl.ANY)),
             scratch_shapes=[pltpu.SemaphoreType.DMA],
         )
         _, table = pl.pallas_call(
