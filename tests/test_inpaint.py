@@ -77,6 +77,118 @@ def test_unobserved_mask_geometry():
     np.testing.assert_allclose(c, [n / 2 - 0.5] * 3, atol=2.0)
 
 
+def test_camera_position_default_camera():
+    from vpt_tpu import transfer
+    from vpt_tpu.renderers import make_scene
+
+    sc = make_scene(volume.sphere_volume(8), transfer.gray_ramp(),
+                    pack=False)
+    # default camera sits at world (0, 0, 2); texture space adds the
+    # center(−0.5) offset → (0.5, 0.5, 2.5)
+    np.testing.assert_allclose(np.asarray(
+        inpaint.camera_position(sc.model_view)), [0.5, 0.5, 2.5],
+        atol=1e-5)
+
+
+def test_optical_depth_views_homogeneous_ball():
+    # Uniform ball, camera on +z far away: the ball's center sees optical
+    # depth ≈ extinction · ρ · radius along the near-axial ray.
+    n = 48
+    rho = _ball_mask(n, r=0.25).astype(jnp.float32) * 0.8
+    cam = jnp.asarray([0.5, 0.5, 4.0])
+    od = inpaint.optical_depth_views(rho, extinction=10.0,
+                                     camera_positions=cam[None],
+                                     n_steps=96, grid=None)
+    center = float(od[n // 2, n // 2, n // 2])
+    np.testing.assert_allclose(center, 10.0 * 0.8 * 0.25, rtol=0.1)
+    # a voxel on the camera side of the ball surface is nearly free
+    assert float(od[int(n * 0.78), n // 2, n // 2]) < 0.3
+    # the far pole carries the whole diameter
+    far = float(od[int(n * 0.27), n // 2, n // 2])
+    np.testing.assert_allclose(far, 10.0 * 0.8 * 0.5, rtol=0.15)
+
+
+def test_optical_depth_views_min_over_views():
+    # Adding the opposite camera must cut the far-side depth to the
+    # near-side profile (min over views), and can never increase it.
+    n = 32
+    rho = _ball_mask(n, r=0.25).astype(jnp.float32) * 0.8
+    one = inpaint.optical_depth_views(
+        rho, 10.0, jnp.asarray([[0.5, 0.5, 4.0]]), n_steps=64, grid=None)
+    two = inpaint.optical_depth_views(
+        rho, 10.0, jnp.asarray([[0.5, 0.5, 4.0], [0.5, 0.5, -3.0]]),
+        n_steps=64, grid=None)
+    assert bool(jnp.all(two <= one + 1e-5))
+    assert float(two[int(n * 0.3), n // 2, n // 2]) \
+        < 0.5 * float(one[int(n * 0.3), n // 2, n // 2])
+
+
+def test_select_tau_blind_veto_and_fill():
+    """The blind rule must (a) veto over-masking through held-out
+    reprojection, (b) fill the vetted unobserved set, recovering the
+    damaged cores without touching truth."""
+    from vpt_tpu import transfer
+    from vpt_tpu.renderers import eam, make_scene
+    from vpt_tpu.runtime.animators import OrbitCameraAnimator
+    from vpt_tpu.scene import CameraState, default_camera
+
+    n = 48
+    truth = volume.blobs_volume(n, seed=3, count=6).data[..., 0]
+    ext = 25.0
+    mask_true = inpaint.unobserved_mask(truth, extinction=ext, tau=2.0)
+    fitted = jnp.where(mask_true, 0.45 * truth, truth)
+    tf = transfer.gray_ramp(alpha_scale=1.0)
+    params = eam.Params(extinction=40.0, slices=24, random=False)
+
+    def cams(poses):
+        out = []
+        for yaw, pitch in poses:
+            node = default_camera()
+            anim = OrbitCameraAnimator(node)
+            anim.rotate(np.deg2rad(yaw) / anim.rotation_speed,
+                        np.deg2rad(pitch) / anim.rotation_speed)
+            out.append(CameraState.from_nodes(node))
+        return out
+
+    # a NON-orbit capture (uneven yaws, mixed pitches — VERDICT r4 #2's
+    # asked-for case): the view-aware field needs no orbit assumption
+    fit_cams = cams([(0, 10), (55, -25), (160, 35), (210, -5),
+                     (305, 20)])
+    held_cams = cams([(100, -15), (260, 30)])
+
+    def render(vol, cs):
+        sc = make_scene(vol[..., None], tf, camera=cs, pack=False)
+        return eam.generate(sc, params, jnp.float32(0.0), 24, 24)
+
+    targets = [render(truth, c) for c in held_cams]
+
+    depth = inpaint.optical_depth_views(
+        fitted, ext,
+        jnp.stack([inpaint.camera_position(c.model_view)
+                   for c in fit_cams]), n_steps=48, grid=None)
+
+    # noiseless synthetic captures: the reprojection floor is ~1e-7 and
+    # a correct fill still leaks ~e^-tau transmittance into the render,
+    # so the absolute slack stands in for the capture-noise floor real
+    # MC targets provide (select_tau_blind docstring)
+    tau, completed, table = inpaint.select_tau_blind(
+        fitted, taus=[0.02, 0.5, 1.0, 2.0, 50.0], heldout_targets=targets,
+        render_views_fn=lambda v: [render(v, c) for c in held_cams],
+        depth=depth, slack_abs=1e-5)
+    # the absurd over-mask (0.02 masks visible shell) must be vetoed
+    t002 = next(r for r in table if r["tau"] == 0.02)
+    floor = min(r["heldout_mse"] for r in table)
+    assert t002["filled_frac"] > 0.3
+    assert t002["heldout_mse"] > floor + 1e-4
+    # something real was filled, blind
+    assert tau is not None and 0.02 < tau < 50.0
+    mn = np.asarray(mask_true)
+    tr = np.asarray(truth)
+    mse0 = float(np.mean((np.asarray(fitted) - tr)[mn] ** 2))
+    mse1 = float(np.mean((np.asarray(completed)[..., ] - tr)[mn] ** 2))
+    assert mse1 < 0.6 * mse0, (mse0, mse1)
+
+
 @pytest.mark.parametrize("tau", [2.0, 3.0])
 def test_blobs_core_completion(tau):
     # End-to-end on the config-3 scene family at 64^3: damage every

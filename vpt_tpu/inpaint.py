@@ -26,12 +26,19 @@ The reference (MOj0/vpt) has no inverse pipeline at all — this is a
 vpt_tpu extension past parity (the transport being inverted is
 MCMRenderer.glsl:129-166's).
 
-Pieces (all jittable; python loops only over pyramid levels):
+Pieces (all jittable; python loops only over pyramid levels / chunks):
 - ``optical_depth_min6`` / ``unobserved_mask``: cheap conservative proxy
   for multi-orbit-view visibility — cumulative optical depth along the
   six axis directions (pure cumsums, no gathers), min over directions.
   Orbit captures see the volume from all sides, so a voxel whose
   *best* axis direction already exceeds ``tau`` is treated as unseen.
+- ``optical_depth_views`` (r5, VERDICT r4 #2a): the view-aware field —
+  optical depth integrated along the ACTUAL capture rays (camera
+  centers from ``camera_position``), min over views; makes tau physical
+  (~1 = transmittance e⁻¹) instead of the proxy's swept 0.15.
+- ``select_tau_blind`` (r5, VERDICT r4 #2b): truth-free threshold
+  choice by held-out-view reprojection — fills as much as possible
+  without measurable held-out harm.
 - ``biharmonic_fill``: coarse-to-fine CG solve of Δ²u = 0 on the masked
   voxels with the rest frozen.
 - ``complete_occluded``: mask + fill in one call.
@@ -45,8 +52,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["optical_depth_min6", "unobserved_mask", "biharmonic_fill",
-           "complete_occluded"]
+__all__ = ["optical_depth_min6", "optical_depth_views", "unobserved_mask",
+           "biharmonic_fill", "complete_occluded", "camera_position",
+           "select_tau_blind"]
 
 
 def _density(volume):
@@ -83,6 +91,150 @@ def unobserved_mask(volume, extinction: float, tau: float = 3.0):
     """Voxels whose best axis-aligned view exceeds optical depth ``tau``
     (transmittance < e^-tau): the data null space to complete."""
     return optical_depth_min6(volume, extinction) > tau
+
+
+def camera_position(model_view):
+    """Camera center in normalized texture space: the origin of camera
+    space mapped back through inv(V·M·center) — the same transform ISO
+    uses for its light (ISORenderer.js:157-165).  All capture rays of a
+    pinhole view pass through this point."""
+    from . import math3d as m4
+
+    return m4.transform_point(m4.invert(model_view),
+                              jnp.zeros((3,), jnp.float32))
+
+
+def optical_depth_views(volume, extinction, camera_positions,
+                        n_steps: int = 64, grid: int | None = 128,
+                        chunk: int = 8):
+    """Min over the ACTUAL capture views of the accumulated optical depth
+    from the cube boundary to each voxel — the view-aware visibility
+    field (VERDICT r4 #2a / ROADMAP item c) that replaces the 6-axis
+    proxy of :func:`optical_depth_min6`.
+
+    For each voxel center p and camera center o (``camera_positions``,
+    (V, 3) in texture space — :func:`camera_position`), integrates
+    ``extinction · ρ`` along the segment from the cube entry of the ray
+    o→p to p (midpoint rule, ``n_steps`` samples, exclusive of p by
+    construction of the midpoints).  This is the transmittance the
+    capture radiance actually attenuated through, so the "unseen" test
+    ``min_v od_v > tau`` has its physical meaning and tau ≈ 1 is the
+    natural threshold — unlike the axis proxy, whose optimum on fitted
+    volumes sat at 0.15 (BENCH_NOTES "Config-3 end-to-end").
+
+    ``grid``: compute at this resolution (volume down-sampled, result
+    up-sampled) — the field is smooth and full-resolution integration at
+    256³ × many views is needlessly expensive.  None = native.
+    ``chunk``: z-planes per jitted dispatch (memory bound)."""
+    from . import sampling
+
+    rho = _density(volume)
+    n = rho.shape[0]
+    cams = jnp.asarray(camera_positions, jnp.float32)
+    if cams.ndim == 1:
+        cams = cams[None]
+    g = n if grid is None else min(grid, n)
+    rho_g = rho if g == n else jax.image.resize(rho, (g,) * 3,
+                                                "trilinear")
+    rho4 = rho_g[..., None]
+
+    axis = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+    yy, xx = jnp.meshgrid(axis, axis, indexing="ij")
+
+    @functools.partial(jax.jit, static_argnames=())
+    def plane_od(zval, cam):
+        pts = jnp.stack([xx, yy, jnp.full_like(xx, zval)],
+                        axis=-1).reshape(-1, 3)
+        d = pts - cam
+        tb = sampling.intersect_cube(jnp.broadcast_to(cam, pts.shape), d)
+        t0 = jnp.clip(tb[..., 0], 0.0, 1.0)
+        dt = (1.0 - t0) / n_steps
+        ts = t0[:, None] + (jnp.arange(n_steps, dtype=jnp.float32)
+                            + 0.5)[None, :] * dt[:, None]
+        x = cam + ts[..., None] * d[:, None, :]
+        dens = sampling.volume_rg(rho4, x, "linear")[..., 0]
+        seg = jnp.sqrt(jnp.sum(d * d, axis=-1)) * dt
+        return extinction * jnp.sum(dens, axis=1) * seg
+
+    out = []
+    for z0 in range(0, g, chunk):
+        zs = axis[z0:z0 + chunk]
+        planes = None
+        for cam in cams:
+            od = jnp.stack([plane_od(z, cam).reshape(g, g) for z in zs])
+            planes = od if planes is None else jnp.minimum(planes, od)
+        out.append(planes)
+    od_g = jnp.concatenate(out, axis=0)
+    if g != n:
+        od_g = jax.image.resize(od_g, (n,) * 3, "trilinear")
+    return od_g
+
+
+def select_tau_blind(volume, taus, heldout_targets, render_views_fn,
+                     depth=None, extinction=None, slack: float = 0.02,
+                     slack_abs: float = 0.0, **fill_kwargs):
+    """Choose the completion threshold WITHOUT ground truth (VERDICT r4
+    #2b): for each candidate tau, complete the volume and re-render
+    HELD-OUT capture views (views the fit never saw).
+
+    Selection rule: held-out reprojection can only *veto* — a genuinely
+    unobserved voxel is (by definition) nearly invisible from every
+    capture-like view, so correct fills are reprojection-neutral, while
+    OVER-masking replaces observed material with extrapolation and shows
+    up as held-out error.  The blind choice is therefore the largest
+    filled fraction whose held-out MSE stays within ``slack`` of the
+    best row (including the no-fill row): fill as much as possible
+    without measurable harm.
+
+    ``render_views_fn(volume) -> (V, H, W, C) or list``: renders the
+    held-out views; ``heldout_targets``: their captured images;
+    ``depth``: a visibility field (:func:`optical_depth_views` of the
+    FIT views is the physical choice) — falls back to the 6-axis proxy
+    at ``extinction``.
+
+    ``slack``/``slack_abs``: a row is admissible when its held-out MSE
+    ≤ floor·(1+slack) + slack_abs.  The absolute term matters for
+    noiseless/synthetic captures, where the floor is ~quantization and a
+    correct fill still leaks ~e⁻tau of transmittance into the render;
+    with real MC captures the noise floor makes the relative term
+    sufficient.
+
+    Returns ``(best_tau, completed, table)``; ``best_tau`` is None (and
+    ``completed`` the untouched fit) when every fill hurts."""
+    v = _density(volume)
+    if depth is None:
+        if extinction is None:
+            raise ValueError("need depth or extinction")
+        depth = optical_depth_min6(v, extinction)
+
+    def as_stack(x):
+        return jnp.stack([jnp.asarray(p) for p in x]) \
+            if isinstance(x, (list, tuple)) else jnp.asarray(x)
+
+    tgt = as_stack(heldout_targets)
+
+    def score(vol):
+        pred = as_stack(render_views_fn(vol))
+        return float(jnp.mean((pred[..., :3] - tgt[..., :3]) ** 2))
+
+    rows = [{"tau": None, "filled_frac": 0.0, "heldout_mse": score(v),
+             "_vol": v}]
+    for tau in taus:
+        mask = depth > tau
+        filled = biharmonic_fill(v, mask, **fill_kwargs)
+        rows.append({"tau": float(tau),
+                     "filled_frac": float(mask.mean()),
+                     "heldout_mse": score(filled), "_vol": filled})
+    floor = min(r["heldout_mse"] for r in rows)
+    admissible = [r for r in rows
+                  if r["heldout_mse"] <= floor * (1.0 + slack)
+                  + slack_abs]
+    best = max(admissible, key=lambda r: r["filled_frac"])
+    completed = best["_vol"]
+    table = [{k: r[k] for k in ("tau", "filled_frac", "heldout_mse")}
+             for r in rows]
+    completed = completed[..., None] if volume.ndim == 4 else completed
+    return best["tau"], completed, table
 
 
 def _lap(u):
@@ -162,10 +314,26 @@ def biharmonic_fill(volume, mask, log_space: bool = True,
     return out[..., None] if volume.ndim == 4 else out
 
 
-def complete_occluded(volume, extinction: float, tau: float = 3.0,
-                      **fill_kwargs):
-    """Detect the unobserved set of ``volume`` at ``extinction`` and fill
-    it with the log-domain biharmonic continuation of the observed
-    material.  Returns ``(completed_volume, mask)``."""
-    mask = unobserved_mask(volume, extinction, tau)
+def complete_occluded(volume, extinction: float = None, tau: float = None,
+                      depth=None, **fill_kwargs):
+    """Detect the unobserved set of ``volume`` and fill it with the
+    log-domain biharmonic continuation of the observed material.
+    Returns ``(completed_volume, mask)``.
+
+    ``depth``: a visibility field — pass :func:`optical_depth_views` of
+    the actual capture cameras for the physical threshold (default
+    tau = 1.0: transmittance < e⁻¹ from every view).  Without it, the
+    6-axis proxy at ``extinction`` is used with default tau = 0.15 — the
+    committed config-3 sweep optimum (BENCH_NOTES: masks from a FITTED
+    volume need tau far below 1 because underfilled cores under-report
+    their own occlusion; the basin [0.1, 0.2] is broad).  To choose tau
+    without ground truth, see :func:`select_tau_blind`."""
+    if depth is None:
+        if extinction is None:
+            raise ValueError("need depth or extinction")
+        depth = optical_depth_min6(volume, extinction)
+        tau = 0.15 if tau is None else tau
+    else:
+        tau = 1.0 if tau is None else tau
+    mask = depth > tau
     return biharmonic_fill(volume, mask, **fill_kwargs), mask
