@@ -259,18 +259,36 @@ def resident_reset(scene: Scene, params: mcm.Params, height: int,
     pool["occupied"] = np.zeros((n_data, num_slabs, capacity), bool)
     pool["pending"] = np.zeros((n_data, num_slabs, capacity), bool)
 
-    fill = np.zeros((n_data, num_slabs), np.int32)
-    for g in range(n_data):
-        for p in range(g * group, (g + 1) * group):
-            s = int(owner[p])
-            if fill[g, s] >= capacity:
-                s = int(np.argmin(fill[g]))   # spill to the emptiest pool
-            slot = fill[g, s]
-            fill[g, s] += 1
-            for f, v in rows.items():
-                pool[f][g, s, slot] = v[p]
-            pool["pixel_id"][g, s, slot] = p
-            pool["occupied"][g, s, slot] = True
+    for gi in range(n_data):
+        pix = np.arange(gi * group, (gi + 1) * group)
+        own = owner[pix].astype(np.int64)
+        order = np.argsort(own, kind="stable")
+        sp, so = pix[order], own[order]
+        counts = np.bincount(so, minlength=num_slabs)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ranks = np.arange(group) - starts[so]
+        direct = ranks < capacity
+        slabs_idx = so[direct]
+        slots_idx = ranks[direct]
+        # spill the overflow into free slots, lowest slot index first
+        # (≈ emptiest-first round-robin); a committed photon may sit
+        # anywhere — it migrates once it goes pending
+        spill_pix = sp[~direct]
+        if spill_pix.size:
+            fill0 = np.minimum(counts, capacity)
+            free = (np.arange(capacity)[:, None]
+                    >= fill0[None, :])            # (capacity, S)
+            free_pos = np.argwhere(free)          # ordered by slot, slab
+            take = free_pos[:spill_pix.size]
+            slabs_idx = np.concatenate([slabs_idx, take[:, 1]])
+            slots_idx = np.concatenate([slots_idx, take[:, 0]])
+            sp = np.concatenate([sp[direct], spill_pix])
+        else:
+            sp = sp[direct]
+        for f, v in rows.items():
+            pool[f][gi, slabs_idx, slots_idx] = v[sp]
+        pool["pixel_id"][gi, slabs_idx, slots_idx] = sp
+        pool["occupied"][gi, slabs_idx, slots_idx] = True
 
     def place(v):
         spec = P(data_axis, space_axis, *([None] * (v.ndim - 2)))
