@@ -69,31 +69,34 @@ def mode_machinery(args):
         mesh = make_mesh(1, axes=("data", "space"), space=1)
         params = mcm.Params(extinction=40.0, anisotropy=0.3,
                             steps=args.steps)
-        pool = resident_reset(scene, params, size, size, mesh, 1)
-        frame_fn, tables = resident_render_frame(mesh, scene, 1, size,
-                                                 size)
+        k = size * size
+        for div in (16, 8, 1):
+            pool = resident_reset(scene, params, size, size, mesh, 1)
+            frame_fn, tables = resident_render_frame(
+                mesh, scene, 1, size, size, fanout=k // div)
 
-        def sync(p):
-            return float(np.asarray(jnp.sum(p["samples"])))
+            def sync(p):
+                return float(np.asarray(jnp.sum(p["samples"])))
 
-        pool = frame_fn(pool, tables, params, jnp.float32(0.123),
-                        jnp.int32(1))
-        sync(pool)
-        t0 = time.perf_counter()
-        for i in range(args.frames):
-            pool = frame_fn(pool, tables, params,
-                            jnp.float32(0.2 + 0.001 * i), jnp.int32(i + 2))
-        sync(pool)
-        dt = time.perf_counter() - t0
-        ev_res = size * size * args.steps * args.frames / dt
-        print(json.dumps({
-            "mode": "machinery", "volume": vol_n, "image": size,
-            "steps": args.steps,
-            "replicated_events_per_s": round(ev_rep / 1e6, 1),
-            "resident_s1_events_per_s": round(ev_res / 1e6, 1),
-            "pool_tax_ns_per_event": round(1e9 / ev_res - 1e9 / ev_rep,
-                                           2),
-        }), flush=True)
+            pool = frame_fn(pool, tables, params, jnp.float32(0.123),
+                            jnp.int32(1))
+            sync(pool)
+            t0 = time.perf_counter()
+            for i in range(args.frames):
+                pool = frame_fn(pool, tables, params,
+                                jnp.float32(0.2 + 0.001 * i),
+                                jnp.int32(i + 2))
+            sync(pool)
+            dt = time.perf_counter() - t0
+            ev_res = size * size * args.steps * args.frames / dt
+            print(json.dumps({
+                "mode": "machinery", "volume": vol_n, "image": size,
+                "steps": args.steps, "fanout": k // div,
+                "replicated_events_per_s": round(ev_rep / 1e6, 1),
+                "resident_s1_events_per_s": round(ev_res / 1e6, 1),
+                "pool_tax_ns_per_event": round(
+                    1e9 / ev_res - 1e9 / ev_rep, 2),
+            }), flush=True)
 
 
 def mode_crossing(args):

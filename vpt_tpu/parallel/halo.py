@@ -58,6 +58,12 @@ class HaloScene:
     everything else mirrors the replicated Scene.
     """
 
+    # class-level defaults so partially-constructed instances
+    # (HaloScene.__new__ in tests, old pickles) keep the original
+    # contiguous/collective semantics
+    collective = True
+    interleave = 1
+
     def __init__(self, slab, slab_index, num_slabs: int, volume_shape,
                  transfer, environment, mvp_inverse, model_view, projection,
                  axis: str = "space", slab_packed=None, transfer_packed=None,

@@ -146,14 +146,19 @@ def _exchange(pool, dest, departs, num_slabs: int, fanout: int, axis: str):
     occupied = pool["occupied"]
     departs = departs & occupied
 
-    # group departures by destination: stable sort on (dest | last)
+    # group departures by destination: ONE stable sort on (dest | last)
+    # + its inverse; every other buffer op below is sized by the fanout,
+    # not the pool — the r5 machinery-tax measurement (resident_probe
+    # --mode machinery) showed full-pool row scatters per leaf cost
+    # ~300 ns/slot, so the exchange touches only O(S·fanout) rows
     key = jnp.where(departs, dest, num_slabs)
     order = jnp.argsort(key)                      # departing first, by dest
     inv = jnp.argsort(order)                      # slot → sorted position
     counts = jnp.sum((dest[None, :] == jnp.arange(num_slabs)[:, None])
                      & departs[None, :], axis=1, dtype=jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    ranks = inv - offsets[jnp.clip(dest, 0, num_slabs - 1)]
+    dest_c = jnp.clip(dest, 0, num_slabs - 1)
+    ranks = inv - offsets[dest_c]
 
     # backpressure grant protocol: every sender learns all demands and
     # all free-slot counts (two small all_gathers), then computes the
@@ -170,33 +175,33 @@ def _exchange(pool, dest, departs, num_slabs: int, fanout: int, axis: str):
     grants = jnp.clip(free_all[None, :] - prefix, 0, demand)
     grant = grants[lax.axis_index(axis)]                  # (S,) mine
     cap = jnp.minimum(grant, fanout)
-    fits = departs & (ranks < cap[jnp.clip(dest, 0, num_slabs - 1)])
+    fits = departs & (ranks < cap[dest_c])
     stalled = jnp.sum(departs & ~fits, dtype=jnp.int32)
 
-    flat_idx = jnp.where(fits, dest * fanout + ranks, num_slabs * fanout)
-    send_valid = jnp.zeros((num_slabs * fanout,), jnp.bool_) \
-        .at[flat_idx].set(True, mode="drop").reshape(num_slabs, fanout)
+    # send buffers: gather the granted rows straight out of the sorted
+    # order — (S, fanout) rows per leaf, no full-pool scatter
+    j = jnp.arange(num_slabs * fanout)
+    js, jm = j // fanout, j % fanout
+    send_valid = jm < cap[js]
+    src = order[jnp.clip(offsets[js] + jm, 0, k - 1)]
 
-    def to_send(leaf):
-        buf = jnp.zeros((num_slabs * fanout,) + leaf.shape[1:], leaf.dtype)
-        return buf.at[flat_idx].set(leaf, mode="drop") \
-            .reshape((num_slabs, fanout) + leaf.shape[1:])
-
-    send = {name: to_send(leaf) for name, leaf in pool.items()
-            if name != "occupied"}
-    send["valid"] = send_valid
+    send = {name: jnp.take(leaf, src, axis=0).reshape(
+        (num_slabs, fanout) + leaf.shape[1:])
+        for name, leaf in pool.items() if name != "occupied"}
+    send["valid"] = send_valid.reshape(num_slabs, fanout)
 
     recv = {name: lax.all_to_all(leaf, axis, 0, 0)
             for name, leaf in send.items()}
     arr_valid = recv.pop("valid").reshape(-1)     # (S·fanout,)
     n_arr = jnp.sum(arr_valid, dtype=jnp.int32)
 
-    # vacate senders, then fill free slots with arrivals in slot order
+    # vacate senders, then fill free slots with arrivals.  Arrivals are
+    # compacted by a small sort over the buffer; free slots come from
+    # one pool-sized sort (unavoidable: fullness is a pool property).
     occupied = occupied & ~fits
     arr_order = jnp.argsort(~arr_valid)           # valid arrivals first
     free_slots = jnp.argsort(occupied)            # free slots first
     n_free = jnp.sum(~occupied, dtype=jnp.int32)
-    j = jnp.arange(num_slabs * fanout)
     accept = (j < n_arr) & (j < n_free)
     tgt = jnp.where(accept, free_slots[jnp.minimum(j, k - 1)], k)
     dropped = n_arr - jnp.sum(accept, dtype=jnp.int32)
