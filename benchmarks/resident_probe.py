@@ -70,10 +70,11 @@ def mode_machinery(args):
         params = mcm.Params(extinction=40.0, anisotropy=0.3,
                             steps=args.steps)
         k = size * size
-        for div in (16, 8, 1):
+        for div, mig in ((16, 1), (16, 4), (16, 8), (8, 1), (1, 1)):
             pool = resident_reset(scene, params, size, size, mesh, 1)
             frame_fn, tables = resident_render_frame(
-                mesh, scene, 1, size, size, fanout=k // div)
+                mesh, scene, 1, size, size, fanout=k // div,
+                migrate_every=mig)
 
             def sync(p):
                 return float(np.asarray(jnp.sum(p["samples"])))
@@ -92,6 +93,7 @@ def mode_machinery(args):
             print(json.dumps({
                 "mode": "machinery", "volume": vol_n, "image": size,
                 "steps": args.steps, "fanout": k // div,
+                "migrate_every": mig,
                 "replicated_events_per_s": round(ev_rep / 1e6, 1),
                 "resident_s1_events_per_s": round(ev_res / 1e6, 1),
                 "pool_tax_ns_per_event": round(

@@ -177,6 +177,57 @@ def test_resident_capacity_spill_init():
                    - float(ref["radiance"].mean())) < 0.05
 
 
+def test_resident_amortized_space1_is_exact():
+    """migrate_every > 1 with one slab: nothing can ever park, so the
+    event schedule — and therefore every field — is bitwise the exact
+    machine's (the amortized inner loop is the same (fly, interact)
+    sequence)."""
+    scene = _scene()
+    params = mcm.Params(extinction=25.0, steps=8)
+    h = w = 16
+    ref = _replicated(scene, params, h, w, frames=2)
+    mesh = make_mesh(8, space=1)
+    pool = resident_reset(scene, params, h, w, mesh, num_slabs=1)
+    frame_fn, tables = resident_render_frame(mesh, scene, 1, h, w,
+                                             migrate_every=4)
+    for fr in range(1, 3):
+        pool = frame_fn(pool, tables, params, jnp.float32(0.1 * fr),
+                        jnp.int32(fr))
+    _check_match(ref, pool, h, w)
+
+
+def test_resident_amortized_parks_not_drops():
+    """space=4 with migrate_every=2: crossers park for ≤1 event per
+    crossing — photons conserved, nothing dropped, deposits within the
+    parking deficit of the replicated machine, radiance statistical."""
+    scene = _scene()
+    params = mcm.Params(extinction=25.0, steps=8)
+    h = w = 16
+    frames = 3
+    ref = _replicated(scene, params, h, w, frames=frames)
+    mesh = make_mesh(8, space=4)
+    pool = resident_reset(scene, params, h, w, mesh, num_slabs=4,
+                          interleave=2)
+    frame_fn, tables = resident_render_frame(mesh, scene, 4, h, w,
+                                             interleave=2,
+                                             migrate_every=2)
+    for fr in range(1, frames + 1):
+        pool = frame_fn(pool, tables, params, jnp.float32(0.1 * fr),
+                        jnp.int32(fr))
+    assert int(np.asarray(pool["dropped"]).sum()) == 0
+    occ = np.asarray(pool["occupied"])
+    assert occ.sum() == h * w
+    pid = np.asarray(pool["pixel_id"])[occ]
+    assert sorted(pid.tolist()) == list(range(h * w))
+    got = {k: np.asarray(v) for k, v in assemble(pool, h, w).items()}
+    # parking delays events: total deposits can only trail the exact
+    # machine, and not by more than the crossing traffic
+    assert got["samples"].sum() <= ref["samples"].sum()
+    assert got["samples"].sum() > 0.8 * ref["samples"].sum()
+    assert abs(float(got["radiance"].mean())
+               - float(ref["radiance"].mean())) < 0.05
+
+
 def test_slab_owner_matches_halo_addressing():
     """Ownership must agree with HaloScene._cell_coords' `local` mask —
     otherwise a resident photon could gather a cell its slab lacks."""

@@ -314,7 +314,8 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
                           data_axis: str = "data",
                           space_axis: str = "space",
                           fanout: int | None = None,
-                          interleave: int = 1):
+                          interleave: int = 1,
+                          migrate_every: int = 1):
     """Build the jitted resident-photon MCM frame function.
 
     Returns ``(frame_fn, tables)``: call
@@ -378,13 +379,11 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
         pool = dict(pool)
         pool["rstate"] = jnp.where(pool["pending"], pool["rstate"], fresh)
 
-        def one_round(_, carry):
-            pool, counters = carry
-            occ = pool["occupied"]
-            ph = _ph_of(pool)
-
+        def do_flight(pool):
             # flight: committed photons draw their free path and go
             # pending (pure VPU — runs wherever the row currently lives)
+            occ = pool["occupied"]
+            ph = _ph_of(pool)
             fly = occ & ~pool["pending"]
             rs_f, pos_f = mcm.flight_phase(ph, pool["rstate"], params,
                                            use_skip, cell)
@@ -393,7 +392,9 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
             pool["position"] = jnp.where(fly[..., None], pos_f,
                                          pool["position"])
             pool["pending"] = occ
+            return pool
 
+        def do_migrate(pool, counters):
             # migrate pending photons to their sample's slab owner.
             # OOB pending positions deposit without using their sample
             # (interact_phase discards vs wherever oob holds), so those
@@ -405,12 +406,13 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
             departs = pool["pending"] & (dest != sidx)
             pool, n_stall, n_drop, n_moved = _exchange(
                 pool, dest, departs, num_slabs, fo, space_axis)
-            counters = {
+            return pool, {
                 "migrated": counters["migrated"] + n_moved,
                 "stalled": counters["stalled"] + n_stall,
                 "dropped": counters["dropped"] + n_drop,
             }
 
+        def do_interact(pool):
             # interact: local pending photons sample the slab and commit
             occ = pool["occupied"]
             dest = _dest_of(pool)
@@ -425,12 +427,49 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
                 ph, pool["rstate"], pool["position"], vs, cheb_new,
                 hscene, params, pool["ndc"], inv_res, use_skip)
             pool = _store_ph(pool, new_ph, ready)
+            pool = dict(pool)
             pool["rstate"] = jnp.where(ready, new_rs, pool["rstate"])
             pool["pending"] = pool["pending"] & ~ready
-            return pool, counters
+            return pool
 
-        pool, counters = lax.fori_loop(0, params.steps, one_round,
-                                       (pool, counters))
+        if migrate_every == 1:
+            # exact mode: one exchange per event, no photon ever waits —
+            # reproduces the replicated machine (tests/test_resident.py)
+            def one_round(_, carry):
+                pool, counters = carry
+                pool = do_flight(pool)
+                pool, counters = do_migrate(pool, counters)
+                return do_interact(pool), counters
+
+            pool, counters = lax.fori_loop(0, params.steps, one_round,
+                                           (pool, counters))
+        else:
+            # amortized mode (the measured pool/migration tax divides by
+            # migrate_every): each round runs one exchange, then
+            # migrate_every (fly, interact-local) event steps — photons
+            # that cross a slab boundary park (pending, remote) until
+            # the next round's exchange, trading a bounded event delay
+            # (≤ migrate_every−1 steps per crossing, surfaced by the
+            # samples counters) for k× less machinery.  With space=1
+            # nothing ever parks and the schedule is event-exact.
+            if params.steps % migrate_every:
+                raise ValueError(
+                    f"steps={params.steps} not divisible by "
+                    f"migrate_every={migrate_every}")
+
+            def one_round(_, carry):
+                pool, counters = carry
+                pool, counters = do_migrate(pool, counters)
+
+                def inner(_, pool):
+                    return do_interact(do_flight(pool))
+
+                pool = lax.fori_loop(0, migrate_every, inner, pool)
+                return pool, counters
+
+            pool, counters = lax.fori_loop(
+                0, params.steps // migrate_every, one_round,
+                (pool, counters))
         out = {name: leaf[None, None] for name, leaf in pool.items()}
         out.update({c: counters[c][None, None] for c in _COUNTERS})
         return out
