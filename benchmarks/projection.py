@@ -176,10 +176,10 @@ def spatial_sharded(n_chips: int, space: int, pixels: int,
 def resident_sharded(n_chips: int, space: int, pixels: int,
                      dims: tuple, curve: GatherCurve, chip: ChipSpec,
                      mean_path_events: float,
-                     imbalance: float = 2.5,
-                     crossing_fraction: float = 0.03,
-                     pool_tax_ns: float = 3.0,
-                     row_move_ns: float = 25.0,
+                     imbalance: float = 1.25,
+                     crossing_fraction: float = 0.14,
+                     pool_tax_k1_ns: float = 43.0,
+                     migrate_every: int = 8,
                      row_bytes: float = 92.0,
                      round_latency_us: float = 5.0) -> dict:
     """Resident-photon MCM (parallel/resident.py): photons live on their
@@ -187,47 +187,53 @@ def resident_sharded(n_chips: int, space: int, pixels: int,
     divides the event WORK (unlike halo's ownership-mask replication) and
     every chip gathers from its slab-local table.
 
-    Cost model per round (one event per photon) on the bottleneck chip:
-    - compute: K_eff slots × (event cost at the per-slab table size +
-      the pool-machinery tax), K_eff = imbalance × pixels/(data·space)
-      — ``imbalance`` is the measured max/mean pool occupancy
-      (benchmarks/resident_probe.py --mode crossing: 1.5–2.5 with the
-      slab axis ⊥ the view — a scene-build choice — up to ~6 when the
-      view axis is slab-aligned; the camera-entry plane is where photons
-      reset);
-    - migration: crossing_fraction × K_eff rows × (on-chip scatter/merge
-      row_move_ns + wire row_bytes·2/ICI);
-    - per-round collective latency (1 all_to_all + 2 grant all_gathers).
+    All structural inputs are r5 single-chip/virtual-mesh MEASUREMENTS
+    (benchmarks/resident_probe.py):
+    - ``pool_tax_k1_ns``: the machinery tax of one exchange round at the
+      production fanout (--mode machinery: 43 ns/event at k=1,
+      measured 15.1 at k=4 and 8.5 at k=8 — i.e. ≈ tax/k + ~3);
+    - ``migrate_every`` (k): events per exchange; crossers park up to
+      k−1 events, so delivered-event efficiency is
+      η = (1 − (1−f)^k)/(f·k) with f the crossing fraction;
+    - ``crossing_fraction`` / ``imbalance``: the machine's own counters
+      on the virtual mesh with real volumes (--mode crossing; cyclic
+      interleave m=4 + OOB spreading: f 0.14–0.23 / B 1.1–1.3, or
+      m=1: f 0.06–0.11 / B 1.6–2.2).
 
-    ``pool_tax_ns`` and ``row_move_ns`` are the single-chip measured
-    inputs (resident_probe --mode machinery / rowcost);
-    ``crossing_fraction`` comes from the machine's own migration
-    counters on the virtual mesh with real volumes."""
+    Cost per chip per inner step: B/S of the group's photons ×
+    (slab-table event + tax/k), discounted by η; wire adds
+    f·row_bytes·2/ICI per event plus the per-round collective latency
+    (1 all_to_all + 2 grant all_gathers)."""
     if n_chips % space:
         raise ValueError("space must divide n_chips")
     d, h, w = dims
     data = n_chips // space
     group = pixels // data
+    k = migrate_every
+    f = crossing_fraction
+    eta = (1.0 - (1.0 - f) ** k) / (f * k) if f > 0 else 1.0
     k_eff = imbalance * group / space
     slab_rows = (d // space + 1) * h * w
-    comp_ns = k_eff * (curve.event_ns(slab_rows) + pool_tax_ns)
-    wire_ns_per_row = 2.0 * row_bytes / chip.ici_axis_gbps \
-        if space > 1 else 0.0
-    mig_ns = crossing_fraction * k_eff * (row_move_ns + wire_ns_per_row)
-    round_ns = comp_ns + mig_ns + round_latency_us * 1e3
-    agg = data * group * 1e9 / round_ns          # one event/photon/round
+    tax = pool_tax_k1_ns / k + (3.0 if k > 1 else 0.0)
+    wire_ns = (2.0 * row_bytes / chip.ici_axis_gbps * f
+               if space > 1 else 0.0)
+    slot_ns = curve.event_ns(slab_rows) + tax + wire_ns
+    round_ns = k_eff * k * slot_ns + round_latency_us * 1e3
+    delivered = group * eta * k                  # events per round
+    agg = data * delivered * 1e9 / round_ns
     single_chip = 1e9 / curve.event_ns(d * h * w)
     return {
-        "strategy": f"resident-photon, space={space}, data={data}",
+        "strategy": (f"resident-photon, space={space}, data={data}, "
+                     f"k={k}"),
         "n_chips": n_chips,
         "slab_rows": slab_rows,
         "k_eff_slots": k_eff,
-        "comp_ns_per_round": comp_ns,
-        "migration_ns_per_round": mig_ns,
+        "delivered_fraction": eta,
+        "slot_ns": slot_ns,
         "aggregate_events_per_s": agg,
         "aggregate_paths_per_s": agg / mean_path_events,
         "efficiency": agg / (n_chips * single_chip),
-        "collectives_per_event": 3,     # all_to_all + 2 grant all_gathers
+        "collectives_per_exchange": 3,  # all_to_all + 2 grant all_gathers
     }
 
 
@@ -271,16 +277,20 @@ def v5p16_projection(headline_events_per_s: float = 180.7e6,
         # ~2²¹ rows — the capacity/latency mode)
         sp256 = spatial_sharded(8, 8, 1024 * 1024, (256, 256, 256), curve,
                                 V5P, dense256_mean_path)
-        # 256³, resident-photon space=8 (work-dividing spatial sharding)
+        # 256³, resident-photon space=8 (work-dividing spatial sharding);
+        # the pool tax is sort/scatter — memory-system-bound like the
+        # gather — so it scales with the scenario's speedup factor
         rs256 = resident_sharded(8, 8, 1024 * 1024, (256, 256, 256),
-                                 curve, V5P, dense256_mean_path)
+                                 curve, V5P, dense256_mean_path,
+                                 pool_tax_k1_ns=43.0 / scale)
         # 512³ (BASELINE config 4), all three strategies
         dp512_rate = 1e9 / curve.event_ns(512 ** 3)
         dp512 = dp_replicated(8, dp512_rate, dense256_mean_path)
         sp512 = spatial_sharded(8, 8, 1024 * 1024, (512, 512, 512), curve,
                                 V5P, dense256_mean_path)
         rs512 = resident_sharded(8, 8, 1024 * 1024, (512, 512, 512),
-                                 curve, V5P, dense256_mean_path)
+                                 curve, V5P, dense256_mean_path,
+                                 pool_tax_k1_ns=43.0 / scale)
         out[scen] = {"dp128": dp128, "dp256": dp256, "spatial256": sp256,
                      "resident256": rs256, "dp512": dp512,
                      "spatial512": sp512, "resident512": rs512}
