@@ -178,3 +178,31 @@ def test_v5p16_projection_meets_north_star_at_the_floor():
     # spatial sharding is reported as the capacity mode it is — its
     # throughput efficiency must NOT silently read as meeting the target
     assert table["v5e-floor"]["spatial512"]["efficiency"] < 0.5
+
+
+def test_resident_sharded_arithmetic():
+    """The r5 resident-photon column: parking efficiency follows the
+    geometric formula, the amortized tax divides by migrate_every, and
+    the measured-input configuration beats halo at the same capacity
+    while staying below replicated DP (the committed docs/SCALING.md
+    story)."""
+    kw = dict(n_chips=8, space=8, pixels=1024 * 1024,
+              dims=(256, 256, 256), curve=projection.MEASURED_V5E_CURVE,
+              chip=projection.V5P, mean_path_events=1.39)
+    r = projection.resident_sharded(**kw)
+    f, k = 0.14, 8
+    assert r["delivered_fraction"] == pytest.approx(
+        (1 - (1 - f) ** k) / (f * k))
+    # k=1 pays the full tax and delivers every event
+    r1 = projection.resident_sharded(**kw, migrate_every=1)
+    assert r1["delivered_fraction"] == pytest.approx(1.0)
+    assert r1["slot_ns"] > r["slot_ns"]
+    # the committed ordering: DP > resident > halo at 256^3
+    halo = projection.spatial_sharded(8, 8, 1024 * 1024, (256,) * 3,
+                                      projection.MEASURED_V5E_CURVE,
+                                      projection.V5P, 1.39)
+    dp = projection.dp_replicated(8, 79.9e6, 1.39)
+    assert halo["aggregate_events_per_s"] \
+        < r["aggregate_events_per_s"] < dp["aggregate_events_per_s"]
+    assert r["aggregate_events_per_s"] \
+        > 1.8 * halo["aggregate_events_per_s"]
