@@ -258,7 +258,9 @@ def grad_allreduce_efficiency(grad_bytes: float, n_chips: int,
 def v5p16_projection(headline_events_per_s: float = 180.7e6,
                      headline_mean_path: float = 1.391,
                      dense256_events_per_s: float = 79.9e6,
-                     dense256_mean_path: float = 1.390) -> dict:
+                     dense256_mean_path: float = 1.390,
+                     dense512_events_per_s: float = 77.0e6,
+                     dense512_mean_path: float = 1.505) -> dict:
     """The committed projection table for docs/SCALING.md: BASELINE.md's
     v5p-16 (8 chips) targets from this repo's measured per-chip rates.
     Defaults are the committed bench_baseline.json rates."""
@@ -283,9 +285,13 @@ def v5p16_projection(headline_events_per_s: float = 180.7e6,
         rs256 = resident_sharded(8, 8, 1024 * 1024, (256, 256, 256),
                                  curve, V5P, dense256_mean_path,
                                  pool_tax_k1_ns=43.0 / scale)
-        # 512³ (BASELINE config 4), all three strategies
-        dp512_rate = 1e9 / curve.event_ns(512 ** 3)
-        dp512 = dp_replicated(8, dp512_rate, dense256_mean_path)
+        # 512³ (BASELINE config 4), all three strategies.  dp512 uses
+        # the r5 MEASURED single-chip rate (benchmarks/configs.py:
+        # 77.0M events/s at 512²/512³ — the real event loop runs the
+        # 2²⁷-row table at the 2²⁴ cost, validating the curve's flat
+        # extrapolation), not the curve
+        dp512 = dp_replicated(8, dense512_events_per_s * scale,
+                              dense512_mean_path)
         sp512 = spatial_sharded(8, 8, 1024 * 1024, (512, 512, 512), curve,
                                 V5P, dense256_mean_path)
         rs512 = resident_sharded(8, 8, 1024 * 1024, (512, 512, 512),
