@@ -234,7 +234,14 @@ def main():
                          "the FITTED volume, whose underfilled cores "
                          "under-report their own occlusion — tau well "
                          "below the 'optically thick' 1.0 compensates; "
-                         "0.05 over-masks and corrupts the visible shell")
+                         "0.05 over-masks and corrupts the visible shell.  "
+                         "The proxy depth is extinction-linear, so this "
+                         "mask at the primary extinction equals a "
+                         "min(exts) mask at tau*min/primary — voxels the "
+                         "low-extinction captures constrain ARE inside "
+                         "the swept optimum (advisor r4); the "
+                         "--inpaint-blind protocol supersedes this with "
+                         "view-aware visibility at min(exts)")
     ap.add_argument("--inpaint-blind", action="store_true",
                     help="truth-free completion protocol (VERDICT r4 #2): "
                          "fit WITHOUT the --heldout views, compute the "
