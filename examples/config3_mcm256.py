@@ -254,6 +254,24 @@ def main():
     ap.add_argument("--heldout", default="3,7",
                     help="view indices withheld from the fit and used "
                          "for blind tau selection (--inpaint-blind)")
+    ap.add_argument("--blind-taus", default="0.05,0.1,0.15,0.25,0.5,1.0",
+                    help="candidate thresholds for the blind sweep.  The "
+                         "r5 first run measured that a FITTED volume "
+                         "under-reports its own occlusion on the "
+                         "view-aware field exactly as it did on the "
+                         "proxy (BENCH_NOTES r4): at min(exts) the field "
+                         "barely crosses 0.25 anywhere, so candidates "
+                         "must span the under-reporting regime — the "
+                         "held-out veto, not the physical tau=1 "
+                         "intuition, is what keeps low taus safe")
+    ap.add_argument("--blind-ext", type=float, default=None,
+                    help="extinction for the view-aware visibility "
+                         "field (default: the PRIMARY capture "
+                         "extinction — the r5 first run measured the "
+                         "min(exts) field too shallow on fitted "
+                         "volumes; the field is extinction-linear, so "
+                         "this only rescales the tau axis the blind "
+                         "sweep searches)")
     ap.add_argument("--cache", default="examples/config3_cache.npz",
                     help="cache file for the rendered targets AND the "
                          "pre-final-stage fit (they are identical across "
@@ -575,8 +593,9 @@ def main():
         # the low-extinction targets is not in the null space)
         cam_pos = jnp.stack([inpaint_mod.camera_position(
             cams[i].model_view) for i in fit_ids])
+        blind_ext = args.blind_ext if args.blind_ext else exts[0]
         depth = inpaint_mod.optical_depth_views(
-            vol_fit[..., 0], min(exts), cam_pos, n_steps=64,
+            vol_fit[..., 0], blind_ext, cam_pos, n_steps=64,
             grid=min(n, 128))
 
         spp_eval = max(min_spp // 8, 64)
@@ -594,7 +613,7 @@ def main():
             return outs
 
         held_targets = [tsets[ext][i] for ext in exts for i in held_ids]
-        taus = (0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0)
+        taus = tuple(float(t) for t in args.blind_taus.split(","))
         tau_blind, completed, table = inpaint_mod.select_tau_blind(
             vol_fit[..., 0], taus, held_targets, render_heldout,
             depth=depth)
@@ -602,6 +621,7 @@ def main():
         inpaint_fields = {
             "voxel_mse_inpaint_blind": float(
                 jnp.mean((vol_fit - truth) ** 2)),
+            "inpaint_blind_ext": blind_ext,
             "inpaint_tau_blind": tau_blind,
             "inpaint_blind_table": table,
             "inpaint_seconds": round(time.perf_counter() - t_inp, 1),
