@@ -308,7 +308,7 @@ def main():
 
     # secondary configs (stderr; failures here must not void the headline)
     for name in ("legacy-float/steps32", "sparse256-auto/steps32",
-                  "dense256-srgb-auto/steps32"):
+                  "dense256-srgb-auto/steps32", "dense512/steps8"):
         try:
             print("# " + json.dumps(run_config(name)), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
