@@ -74,31 +74,43 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from bench import probe_backend
-    from vpt_tpu.renderers import depth, eam
+    from vpt_tpu.renderers import depth, eam, iso
 
     probe_backend()
     exact, clamp = build_scenes(args.vol)
     box = np.asarray(clamp.occupied_aabb)
     span = float((box[1] - box[0]).max())
     matched = max(int(np.ceil(64 * span)), 1)
+    matched_iso = max(int(np.ceil(50 * span)), 1)
     print(f"# occupied box spans {span:.3f} of the cube; "
-          f"density-matched slices = {matched}", file=sys.stderr)
+          f"density-matched slices = {matched} (iso: {matched_iso})",
+          file=sys.stderr)
 
-    for name, module, mk in (
+    for name, module, mk, base in (
             ("eam", eam, lambda s: eam.Params(extinction=80.0, slices=s,
-                                              random=False)),
+                                              random=False), 64),
             ("depth", depth, lambda s: depth.Params(extinction=200.0,
                                                     slices=s, threshold=0.1,
-                                                    random=False))):
+                                                    random=False), 64),
+            # ISO joins the clamp through the isovalue>0 guard
+            # (VERDICT r4 #5); its default budget is 50 steps
+            ("iso", iso, lambda s: iso.Params(isovalue=0.3, steps=s), 50)):
         ref, _ = run(module, exact, mk(2048), args.size, 1)
+        dm = matched_iso if name == "iso" else matched
         rows = []
         for label, scene, slices in (
-                ("exact/64", exact, 64),
-                ("clamp/64", clamp, 64),
-                (f"clamp/{matched}", clamp, matched)):
+                (f"exact/{base}", exact, base),
+                (f"clamp/{base}", clamp, base),
+                (f"clamp/{dm}", clamp, dm)):
             img, ms = run(module, scene, mk(slices), args.size, args.frames)
+            a, b = img, ref
+            if name == "iso":
+                # ISO's 4th channel is the *segment-relative* ray
+                # parameter, which reparametrizes under the clamp; the
+                # absolute quantity is the hit position (xyz)
+                a, b = img[..., :3], ref[..., :3]
             rmse = float(np.sqrt(np.mean(
-                (img.astype(np.float64) - ref.astype(np.float64)) ** 2)))
+                (a.astype(np.float64) - b.astype(np.float64)) ** 2)))
             rows.append({"renderer": name, "config": label,
                          "ms_per_frame": round(ms, 2),
                          "rmse_vs_ref": round(rmse, 5)})

@@ -140,6 +140,83 @@ def test_depth_clamp_matches_exact(scenes):
     assert np.allclose(f_e[hit], f_c[hit], atol=0.02)
 
 
+def test_iso_value_aabb_threshold_tightens():
+    """The value-threshold box (VERDICT r4 #5) must shrink as the alpha
+    floor rises: a radially decaying ball reaches high alpha only near
+    its center."""
+    n = 32
+    g = (np.arange(n, dtype=np.float32) + 0.5) / n - 0.5
+    r2 = (g[:, None, None] ** 2 + g[None, :, None] ** 2
+          + g[None, None, :] ** 2)
+    v = jnp.asarray(np.clip(1.0 - r2 / 0.09, 0.0, 1.0)
+                    .astype(np.float32)[..., None])
+    tf = _sparse_tf()
+    lo = np.asarray(skipgrid.iso_value_aabb(v, tf, 0.05))
+    hi = np.asarray(skipgrid.iso_value_aabb(v, tf, 0.6))
+    assert np.all(hi[0] >= lo[0]) and np.all(hi[1] <= lo[1])
+    assert np.any(hi[0] > lo[0] + 1e-6)
+    # a floor every cell can reach returns None (clamp would be useless)
+    assert skipgrid.iso_value_aabb(
+        jnp.full((8, 8, 8, 1), 0.9, jnp.float32),
+        transfer.gray_ramp(alpha_scale=0.9), 0.1) is None
+
+
+def test_iso_clamp_matches_exact(scenes):
+    """ISO under march_clamp: same hit classification and hit positions
+    as the exact machine at a high step count (both quantize the crossing
+    by their own backward step)."""
+    from vpt_tpu.renderers import iso
+
+    exact, clamp = scenes
+    h = w = 24
+    p = iso.Params(isovalue=0.3, steps=512)
+    f_e = np.asarray(iso.generate(exact, p, jnp.float32(0.0), h, w))
+    f_c = np.asarray(iso.generate(clamp, p, jnp.float32(0.0), h, w))
+    hit_e, hit_c = f_e[..., 3] > 0, f_c[..., 3] > 0
+    assert np.array_equal(hit_e, hit_c)
+    assert hit_e.any()
+    # positions agree to a couple of the quantization steps
+    assert np.allclose(f_e[hit_e][:, :3], f_c[hit_c][:, :3], atol=0.02)
+
+
+def test_iso_clamp_zero_isovalue_falls_back_exact(scenes):
+    """isovalue ≤ 0 makes every sample a hit — the clamp box is NOT
+    hit-free there, so the in-graph guard must fall back to the full
+    segment bitwise."""
+    from vpt_tpu.renderers import iso
+
+    exact, clamp = scenes
+    h = w = 24
+    p = iso.Params(isovalue=0.0, steps=64)
+    f_e = np.asarray(iso.generate(exact, p, jnp.float32(0.2), h, w))
+    f_c = np.asarray(iso.generate(clamp, p, jnp.float32(0.2), h, w))
+    np.testing.assert_array_equal(f_e, f_c)
+
+
+def test_iso_tighter_box_guarded_by_floor():
+    """iso_clamp_min builds the tighter box; below the floor the machine
+    falls back to the occupied box (still exact for isovalue > 0)."""
+    from vpt_tpu.renderers import iso
+
+    sc0 = make_scene(_ball(), _sparse_tf())
+    sc1 = make_scene(_ball(), _sparse_tf(), march_clamp=True,
+                     iso_clamp_min=0.5)
+    assert sc1.iso_aabb is not None
+    box_occ = np.asarray(sc1.occupied_aabb)
+    box_iso = np.asarray(sc1.iso_aabb)
+    assert np.all(box_iso[0] >= box_occ[0] - 1e-6)
+    assert np.all(box_iso[1] <= box_occ[1] + 1e-6)
+    h = w = 24
+    for isovalue in (0.7, 0.3):    # above and below the floor
+        p = iso.Params(isovalue=isovalue, steps=512)
+        f_e = np.asarray(iso.generate(sc0, p, jnp.float32(0.0), h, w))
+        f_c = np.asarray(iso.generate(sc1, p, jnp.float32(0.0), h, w))
+        assert np.array_equal(f_e[..., 3] > 0, f_c[..., 3] > 0), isovalue
+        hit = f_e[..., 3] > 0
+        assert np.allclose(f_e[hit][:, :3], f_c[hit][:, :3],
+                           atol=0.02), isovalue
+
+
 def test_clamp_miss_semantics(scenes):
     """Rays through the cube that miss the occupied box must produce the
     renderer's background output, exactly as the exact machine's empty

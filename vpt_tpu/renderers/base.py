@@ -85,7 +85,11 @@ class Scene:
     majorant: Any = None              # (N, N, N, 2) [maxalpha, chebdist]
     tracking_packed: Any = None       # (D·H·W, 8) cheb-skip corner table
     occupied_aabb: Any = None         # (2, 3) [lo, hi] march clamp box
+    iso_aabb: Any = None              # (2, 3) tighter ISO clamp box
     filter: str = "linear"            # volume filter (static)
+    #: alpha floor the iso_aabb was derived at (iso_value_aabb): the box
+    #: is valid only for isovalue >= this, enforced in-graph.  Static.
+    iso_clamp_min: float = 0.0
     #: serve volume gathers at this fold when volume_packed is stored at a
     #: larger one (two-level fold, sampling.take_rows_twolevel): fast
     #: narrow gathers forward, cliff-free wide scatters backward.  Static.
@@ -102,13 +106,15 @@ class Scene:
                 self.mvp_inverse, self.model_view, self.projection,
                 self.volume_packed, self.transfer_packed,
                 self.transfer_banks, self.transfer_mxu,
-                self.majorant, self.tracking_packed, self.occupied_aabb), \
-            (self.filter, self.gather_fold_log2, self.fused_vjp)
+                self.majorant, self.tracking_packed, self.occupied_aabb,
+                self.iso_aabb), \
+            (self.filter, self.gather_fold_log2, self.fused_vjp,
+             self.iso_clamp_min)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, filter=aux[0], gather_fold_log2=aux[1],
-                   fused_vjp=aux[2])
+                   fused_vjp=aux[2], iso_clamp_min=aux[3])
 
     # -- samplers (the GLSL sampleVolumeColor / sampleEnvironmentMap) ------
     def sample_volume_rg(self, position):
@@ -250,7 +256,8 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                tf_srgb: bool = False,
                majorant_grid: Optional[int] = None,
                tracking: str = "none",
-               march_clamp: bool = False) -> Scene:
+               march_clamp: bool = False,
+               iso_clamp_min: float = 0.0) -> Scene:
     """Assemble a Scene.  ``volume`` may be a Volume dataclass or raw array;
     ``camera`` a scene-graph Node, a CameraState, or None (default camera).
 
@@ -298,14 +305,22 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
     TF-empty (the skip is free in occupied cells, so empty fraction is the
     whole decision), else the exact global machine.
     ``march_clamp``: opt-in empty-space acceleration for the MARCH
-    renderers (EAM/MIP/Depth): clamp each ray's marched segment to the
-    occupied AABB (skipgrid.occupied_aabb — cells outside it are provably
-    TF-invisible), concentrating the same slice count on the visible
-    support.  Changes sample placement (a quadrature refinement of the
-    same integral), so it is opt-in and validated against the exact
-    oracle like ``pack_dtype`` (tests/test_march_clamp.py); a scene with
-    no TF-empty cells keeps occupied_aabb None and the exact path
-    bitwise untouched."""
+    renderers (EAM/MIP/Depth/ISO): clamp each ray's marched segment to
+    the occupied AABB (skipgrid.occupied_aabb — cells outside it are
+    provably TF-invisible), concentrating the same slice count on the
+    visible support.  Changes sample placement (a quadrature refinement
+    of the same integral), so it is opt-in and validated against the
+    exact oracle like ``pack_dtype`` (tests/test_march_clamp.py); a
+    scene with no TF-empty cells keeps occupied_aabb None and the exact
+    path bitwise untouched.  ISO's hit test needs TF alpha ≥ isovalue,
+    so the TF-empty box is hit-free for any isovalue > 0; the renderer
+    guards the clamp with an in-graph ``isovalue > 0`` select (the
+    isovalue is traced), so the box stays safe at every parameter value.
+    ``iso_clamp_min``: derive ISO's *tighter* clamp box at this alpha
+    floor (skipgrid.iso_value_aabb — cells whose achievable TF alpha
+    stays below the floor can produce no hit for isovalue ≥ floor); the
+    box engages in-graph only where ``isovalue >= iso_clamp_min``,
+    falling back to the march_clamp box / full segment below it."""
     from .. import sampling
     from ..scene import default_camera  # local import to avoid cycle
     from ..volume import Volume
@@ -408,6 +423,20 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
                 "marching the full segment", stacklevel=2)
         else:
             aabb = skipgrid.occupied_aabb(volume, transfer)
+    iso_box = None
+    if iso_clamp_min > 0.0:
+        from .. import skipgrid
+
+        if volume.shape[-1] != 1 or vol_filter != "linear":
+            import warnings
+
+            warnings.warn(
+                "iso_clamp_min requested but the value-AABB derivation "
+                "supports single-channel linear-filter volumes only — "
+                "marching the full segment", stacklevel=2)
+        else:
+            iso_box = skipgrid.iso_value_aabb(volume, transfer,
+                                              iso_clamp_min)
     return Scene(
         volume=volume,
         transfer=transfer,
@@ -422,7 +451,9 @@ def make_scene(volume, transfer, camera: Optional[Any] = None,
         majorant=majorant,
         tracking_packed=tracking_packed,
         occupied_aabb=aabb,
+        iso_aabb=iso_box,
         filter=vol_filter,
+        iso_clamp_min=float(iso_clamp_min),
     )
 
 

@@ -241,7 +241,14 @@ def occupied_aabb(volume, transfer):
     empty = cell_empty_mask(packed, transfer)
     if not bool(jnp.any(empty)):
         return None
-    occ = (~empty).reshape(d, h, w)
+    return _cells_aabb((~empty).reshape(d, h, w))
+
+
+def _cells_aabb(occ):
+    """(D, H, W) bool cell mask → (2, 3) normalized-position AABB covering
+    every True cell (the shared box derivation of occupied_aabb /
+    iso_value_aabb); degenerate when no cell is True."""
+    d, h, w = occ.shape
     if not bool(jnp.any(occ)):
         # nothing is visible: a degenerate box every ray misses
         return jnp.asarray([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]], jnp.float32)
@@ -259,6 +266,38 @@ def occupied_aabb(volume, transfer):
     xlo, xhi = axis_range(jnp.any(occ, axis=(0, 1)), w)
     return jnp.stack([jnp.stack([xlo, ylo, zlo]),
                       jnp.stack([xhi, yhi, zhi])]).astype(jnp.float32)
+
+
+def iso_value_aabb(volume, transfer, alpha_min: float):
+    """(2, 3) AABB over every cell where the TF alpha can reach
+    ``alpha_min`` anywhere in the cell's trilinear value range — the ISO
+    march clamp's tighter box (VERDICT r4 #5), or None when unsupported
+    (multi-channel) or not useful (every cell can reach ``alpha_min``).
+
+    ISO hits require ``sampleVolumeColor(p).a >= uIsovalue``
+    (ISORenderer.glsl:68-69), so a cell whose achievable alpha maximum
+    stays below ``alpha_min`` can produce no hit for any isovalue ≥
+    ``alpha_min``.  The bound reuses cell_empty_mask's texel-cover
+    argument with the threshold raised from 0 to ``alpha_min``; validity
+    for a *traced* isovalue is enforced at sample time (renderers/iso.py
+    clamps only where ``isovalue >= alpha_min`` holds in-graph)."""
+    d, h, w, c = volume.shape
+    if c != 1:
+        return None
+    from . import sampling
+
+    packed = sampling.pack_corner_volume(volume)
+    vmin = jnp.min(packed, axis=-1)
+    vmax = jnp.max(packed, axis=-1)
+    tw = transfer.shape[1]
+    alpha_row = transfer[0, :, 3]
+    lo = jnp.clip(jnp.floor(vmin * tw - 0.5), 0, tw - 1).astype(jnp.int32)
+    hi = jnp.clip(jnp.floor(vmax * tw - 0.5) + 1.0, 0,
+                  tw - 1).astype(jnp.int32)
+    can_hit = _tf_range_max(alpha_row, lo, hi) >= alpha_min
+    if bool(jnp.all(can_hit)):
+        return None
+    return _cells_aabb(can_hit.reshape(d, h, w))
 
 
 def empty_fraction(tracking_packed) -> float:
