@@ -293,9 +293,9 @@ def v5p16_projection(headline_events_per_s: float = 180.7e6,
         dp512 = dp_replicated(8, dense512_events_per_s * scale,
                               dense512_mean_path)
         sp512 = spatial_sharded(8, 8, 1024 * 1024, (512, 512, 512), curve,
-                                V5P, dense256_mean_path)
+                                V5P, dense512_mean_path)
         rs512 = resident_sharded(8, 8, 1024 * 1024, (512, 512, 512),
-                                 curve, V5P, dense256_mean_path,
+                                 curve, V5P, dense512_mean_path,
                                  pool_tax_k1_ns=43.0 / scale)
         out[scen] = {"dp128": dp128, "dp256": dp256, "spatial256": sp256,
                      "resident256": rs256, "dp512": dp512,

@@ -246,9 +246,9 @@ def main():
                     help="truth-free completion protocol (VERDICT r4 #2): "
                          "fit WITHOUT the --heldout views, compute the "
                          "view-aware visibility field along the actual "
-                         "fit-view capture rays at min(exts) "
-                         "(inpaint.optical_depth_views), and choose tau "
-                         "by held-out-view reprojection "
+                         "fit-view capture rays (--blind-ext; default "
+                         "the primary extinction), and choose tau by "
+                         "held-out-view reprojection "
                          "(inpaint.select_tau_blind) — ground truth is "
                          "touched only to REPORT the resulting voxel MSE")
     ap.add_argument("--heldout", default="3,7",
@@ -451,7 +451,11 @@ def main():
               + "  ".join(f"{r['bucket']}={r['mse']:.2e}" for r in rows))
         return rows
 
-    prefit_key = "prefit_blind" if args.inpaint_blind else "prefit"
+    # the blind prefit depends on WHICH views were withheld — a cached
+    # fit from a different split would have trained on the "held-out"
+    # views and silently un-blind the protocol
+    prefit_key = (f"prefit_blind_h{args.heldout}" if args.inpaint_blind
+                  else "prefit")
 
     def save_cache(prefit=None):
         if not args.cache:
@@ -588,9 +592,11 @@ def main():
         from vpt_tpu import inpaint as inpaint_mod
         t_inp = time.perf_counter()
         # view-aware visibility: optical depth along the ACTUAL fit-view
-        # capture rays, at the deepest-seeing capture extinction
-        # (min(exts) — the advisor's r4 finding: a voxel constrained by
-        # the low-extinction targets is not in the null space)
+        # capture rays, at the PRIMARY capture extinction by default —
+        # the r5 first run measured the min(exts) field too shallow on
+        # fitted volumes (BENCH_NOTES "gone truth-blind"); the field is
+        # extinction-linear, so the choice only rescales the tau axis
+        # the blind sweep searches
         cam_pos = jnp.stack([inpaint_mod.camera_position(
             cams[i].model_view) for i in fit_ids])
         blind_ext = args.blind_ext if args.blind_ext else exts[0]

@@ -129,44 +129,54 @@ def optical_depth_views(volume, extinction, camera_positions,
     from . import sampling
 
     rho = _density(volume)
-    n = rho.shape[0]
+    d, h, w = rho.shape
     cams = jnp.asarray(camera_positions, jnp.float32)
     if cams.ndim == 1:
         cams = cams[None]
-    g = n if grid is None else min(grid, n)
-    rho_g = rho if g == n else jax.image.resize(rho, (g,) * 3,
-                                                "trilinear")
+    if grid is None:
+        gd, gh, gw = d, h, w
+    else:
+        scale = min(1.0, grid / max(d, h, w))
+        gd, gh, gw = (max(1, round(d * scale)), max(1, round(h * scale)),
+                      max(1, round(w * scale)))
+    rho_g = rho if (gd, gh, gw) == (d, h, w) \
+        else jax.image.resize(rho, (gd, gh, gw), "trilinear")
     rho4 = rho_g[..., None]
 
-    axis = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    yy, xx = jnp.meshgrid(axis, axis, indexing="ij")
+    def centers(n):
+        return (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+
+    zs_all, ys, xs = centers(gd), centers(gh), centers(gw)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
 
     @functools.partial(jax.jit, static_argnames=())
     def plane_od(zval, cam):
         pts = jnp.stack([xx, yy, jnp.full_like(xx, zval)],
                         axis=-1).reshape(-1, 3)
-        d = pts - cam
-        tb = sampling.intersect_cube(jnp.broadcast_to(cam, pts.shape), d)
+        dvec = pts - cam
+        tb = sampling.intersect_cube(jnp.broadcast_to(cam, pts.shape),
+                                     dvec)
         t0 = jnp.clip(tb[..., 0], 0.0, 1.0)
         dt = (1.0 - t0) / n_steps
         ts = t0[:, None] + (jnp.arange(n_steps, dtype=jnp.float32)
                             + 0.5)[None, :] * dt[:, None]
-        x = cam + ts[..., None] * d[:, None, :]
+        x = cam + ts[..., None] * dvec[:, None, :]
         dens = sampling.volume_rg(rho4, x, "linear")[..., 0]
-        seg = jnp.sqrt(jnp.sum(d * d, axis=-1)) * dt
+        seg = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1)) * dt
         return extinction * jnp.sum(dens, axis=1) * seg
 
     out = []
-    for z0 in range(0, g, chunk):
-        zs = axis[z0:z0 + chunk]
+    for z0 in range(0, gd, chunk):
+        zs = zs_all[z0:z0 + chunk]
         planes = None
         for cam in cams:
-            od = jnp.stack([plane_od(z, cam).reshape(g, g) for z in zs])
+            od = jnp.stack([plane_od(z, cam).reshape(gh, gw)
+                            for z in zs])
             planes = od if planes is None else jnp.minimum(planes, od)
         out.append(planes)
     od_g = jnp.concatenate(out, axis=0)
-    if g != n:
-        od_g = jax.image.resize(od_g, (n,) * 3, "trilinear")
+    if (gd, gh, gw) != (d, h, w):
+        od_g = jax.image.resize(od_g, (d, h, w), "trilinear")
     return od_g
 
 
@@ -217,22 +227,26 @@ def select_tau_blind(volume, taus, heldout_targets, render_views_fn,
         pred = as_stack(render_views_fn(vol))
         return float(jnp.mean((pred[..., :3] - tgt[..., :3]) ** 2))
 
-    rows = [{"tau": None, "filled_frac": 0.0, "heldout_mse": score(v),
-             "_vol": v}]
+    # first pass scores every candidate WITHOUT retaining its volume
+    # (seven 256³ fills would pin ~0.5 GB); the winner is refilled once
+    table = [{"tau": None, "filled_frac": 0.0, "heldout_mse": score(v)}]
     for tau in taus:
         mask = depth > tau
         filled = biharmonic_fill(v, mask, **fill_kwargs)
-        rows.append({"tau": float(tau),
-                     "filled_frac": float(mask.mean()),
-                     "heldout_mse": score(filled), "_vol": filled})
-    floor = min(r["heldout_mse"] for r in rows)
-    admissible = [r for r in rows
+        table.append({"tau": float(tau),
+                      "filled_frac": float(mask.mean()),
+                      "heldout_mse": score(filled)})
+        del filled
+    floor = min(r["heldout_mse"] for r in table)
+    admissible = [r for r in table
                   if r["heldout_mse"] <= floor * (1.0 + slack)
                   + slack_abs]
     best = max(admissible, key=lambda r: r["filled_frac"])
-    completed = best["_vol"]
-    table = [{k: r[k] for k in ("tau", "filled_frac", "heldout_mse")}
-             for r in rows]
+    if best["tau"] is None:
+        completed = v
+    else:
+        completed = biharmonic_fill(v, depth > best["tau"],
+                                    **fill_kwargs)
     completed = completed[..., None] if volume.ndim == 4 else completed
     return best["tau"], completed, table
 

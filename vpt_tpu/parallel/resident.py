@@ -325,6 +325,12 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
     arrays (volume slabs + optional corner/tracking tables), placed like
     halo.sharded_render_frame's.  ``fanout`` bounds rows exchanged per
     (round, destination); None = capacity (stall-free)."""
+    if scene.majorant is not None:
+        raise ValueError(
+            "resident_render_frame does not implement the majorant-grid "
+            "tracking machine (its flight needs the coarse grid); build "
+            "the scene with tracking='none'/'cheb' or use the "
+            "replicated/halo paths")
     volume_shape = scene.volume.shape
     slabs = shard_volume_cyclic(scene.volume, num_slabs, interleave)
     packed = scene.volume_packed is not None
@@ -332,7 +338,7 @@ def resident_render_frame(mesh: Mesh, scene: Scene, num_slabs: int,
     if packed:
         slabs_packed = jax.vmap(sampling.pack_corner_volume)(slabs)
         slabs_packed = slabs_packed.astype(scene.volume_packed.dtype)
-    tracked = scene.tracking_packed is not None and scene.majorant is None
+    tracked = scene.tracking_packed is not None
     slabs_tracking = None
     if tracked:
         d, h, w = volume_shape[:3]
