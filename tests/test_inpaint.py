@@ -212,3 +212,16 @@ def test_blobs_core_completion(tau):
     mse0 = float(np.mean((np.asarray(damaged) - tr)[mn] ** 2))
     mse1 = float(np.mean((np.asarray(filled) - tr)[mn] ** 2))
     assert mse1 < 0.25 * mse0, (mse0, mse1)
+
+
+def test_optical_depth_views_non_cubic():
+    # (D, H, W) with distinct extents: per-axis compute grids keep the
+    # geometry (review r5 finding); output matches the input shape
+    rho = jnp.zeros((24, 40, 40), jnp.float32).at[8:16, 16:28, 16:28] \
+        .set(0.9)
+    od = inpaint.optical_depth_views(
+        rho, 10.0, jnp.asarray([[0.5, 0.5, 3.0]]), n_steps=32, grid=20)
+    assert od.shape == (24, 40, 40)
+    # deepest behind the block's center (low z = far from the +z camera)
+    zc = np.asarray(od)[:, 22, 22]
+    assert zc[4] > zc[20]
