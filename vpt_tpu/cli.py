@@ -240,6 +240,9 @@ def cmd_fit(args):
     from .train import fit
     from .transfer import gray_ramp
 
+    if args.method != "eam" and getattr(args, "inpaint_blind", False):
+        raise SystemExit("--inpaint-blind is eam-only (multi-view "
+                         "targets); mcm/mcs fits use --inpaint")
     if args.method != "eam" and len(args.target) > 1:
         raise SystemExit(f"--method {args.method} takes a single --target; "
                          "multi-view fitting is eam-only")
@@ -346,9 +349,46 @@ def cmd_fit(args):
         views.append((cs.mvp_inverse, cs.model_view, cs.projection))
 
     params = eam.Params(slices=args.eam_slices or 64, random=False)
-    vol, _, losses = fit(targets, views, init, tf, steps=args.steps,
-                         learning_rate=args.lr, params=params, verbose=True)
-    vol = maybe_inpaint(vol, params.extinction)
+
+    # truth-blind completion (--inpaint-blind): withhold the LAST target
+    # from the fit and use it to select the completion threshold by
+    # reprojection (inpaint.select_tau_blind); requires >= 3 views so the
+    # fit keeps at least two
+    blind = args.inpaint_blind
+    if blind and n_views < 3:
+        raise SystemExit("--inpaint-blind needs at least 3 --target views "
+                         "(the last is withheld for tau selection)")
+    fit_targets = targets[:-1] if blind else targets
+    fit_views = views[:-1] if blind else views
+
+    vol, _, losses = fit(fit_targets, fit_views, init, tf,
+                         steps=args.steps, learning_rate=args.lr,
+                         params=params, verbose=True)
+    if blind:
+        from . import inpaint as inpaint_mod
+        from .train import render_eam as _render_eam
+
+        h_t, w_t = targets[-1].shape[:2]
+        cam_pos = jnp.stack([inpaint_mod.camera_position(mv)
+                             for (_, mv, _) in fit_views])
+        depth = inpaint_mod.optical_depth_views(
+            vol[..., 0], float(params.extinction), cam_pos)
+
+        def render_heldout(v):
+            return [_render_eam(jnp.asarray(v)[..., None], tf, views[-1],
+                                params, jnp.float32(0.0), h_t, w_t)]
+
+        taus = tuple(float(t) for t in args.blind_taus.split(","))
+        tau_blind, completed, table = inpaint_mod.select_tau_blind(
+            vol[..., 0], taus, [targets[-1]], render_heldout,
+            depth=depth)
+        print("blind tau selection: " + "; ".join(
+            f"tau={r['tau']}: fill={r['filled_frac']:.3f} "
+            f"heldout={r['heldout_mse']:.2e}" for r in table))
+        print(f"chosen tau = {tau_blind}")
+        vol = jnp.clip(jnp.asarray(completed), 0.0, 1.0)[..., None]
+    else:
+        vol = maybe_inpaint(vol, params.extinction)
     np.save(args.output, np.asarray(vol))
     from .train import render_eam
     pred = render_eam(vol, tf, views[0], params, jnp.float32(0.0),
@@ -472,6 +512,15 @@ def main(argv=None):
                         "optimization (vpt_tpu.inpaint: optical-depth "
                         "visibility + log-domain biharmonic CG fill; "
                         "eam/mcm/mcs methods)")
+    p.add_argument("--inpaint-blind", action="store_true",
+                   help="truth-free completion for the multi-view eam "
+                        "fit: the LAST --target view is withheld from "
+                        "the fit; per-voxel visibility integrates along "
+                        "the fit views' capture rays and the threshold "
+                        "is chosen by held-out reprojection "
+                        "(inpaint.select_tau_blind)")
+    p.add_argument("--blind-taus", default="0.05,0.1,0.15,0.25,0.5,1.0",
+                   help="candidate thresholds for --inpaint-blind")
     p.add_argument("--inpaint-tau", type=float, default=0.15,
                    help="visibility threshold.  The default is the "
                         "committed config-3 sweep optimum AT extinction "
